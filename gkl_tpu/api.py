@@ -1,0 +1,160 @@
+"""Java-API-parity surface: PairHMM / PDHMM / SmithWaterman / Deflater classes.
+
+Mirrors the reference's public bindings:
+
+* ``IntelPairHmm`` (``pairhmm/IntelPairHmm.java:41-167``) →  :class:`PairHMM`
+* ``IntelPDHMM``   (``pdhmm/IntelPDHMM.java:46-220``)     →  :class:`PDHMM`
+* ``IntelSmithWaterman`` (``smithwaterman/IntelSmithWaterman.java:44-191``)
+  → :class:`SmithWaterman` (in ``api_sw.py`` to avoid import cycles)
+
+The per-pair likelihood batch is the reference's read × haplotype cross
+product in read-major order (``pairhmm/JavaData.h:84-106``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from . import batch as batch_mod
+from . import utils
+from .context import MIN_ACCEPTED
+from .ops import pairhmm as pairhmm_ops
+
+
+def _as_u8(x) -> np.ndarray:
+    if isinstance(x, (bytes, bytearray, str)):
+        if isinstance(x, str):
+            x = x.encode("ascii")
+        return np.frombuffer(bytes(x), dtype=np.uint8)
+    return np.asarray(x).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class ReadData:
+    """Equivalent of GATK's ReadDataHolder (pairhmm/JavaData.h:55-60)."""
+
+    read_bases: np.ndarray
+    read_quals: np.ndarray
+    insertion_gop: np.ndarray
+    deletion_gop: np.ndarray
+    overall_gcp: np.ndarray
+
+    def __post_init__(self):
+        self.read_bases = _as_u8(self.read_bases)
+        self.read_quals = _as_u8(self.read_quals)
+        self.insertion_gop = _as_u8(self.insertion_gop)
+        self.deletion_gop = _as_u8(self.deletion_gop)
+        self.overall_gcp = _as_u8(self.overall_gcp)
+
+
+@dataclasses.dataclass
+class HaplotypeData:
+    """Equivalent of HaplotypeDataHolder (pairhmm/JavaData.h:61-62)."""
+
+    haplotype_bases: np.ndarray
+
+    def __post_init__(self):
+        self.haplotype_bases = _as_u8(self.haplotype_bases)
+
+
+@dataclasses.dataclass
+class PairHMMNativeArguments:
+    """Mirror of PairHMMNativeArguments (pairhmm/IntelPairHmm.java:85-119)."""
+
+    use_double_precision: bool = False
+    max_number_of_threads: int = 1
+
+
+class PairHMM:
+    """PairHMM forward-likelihood engine (float-first with double rescue).
+
+    ``compute_likelihoods`` follows ``pairhmm/IntelPairHmm.cc:125-181``:
+    compute every (read, hap) pair in float32; any raw probability below
+    ``MIN_ACCEPTED`` (1e-28) is recomputed in float64.  With
+    ``use_double_precision=True`` everything runs in float64.
+    """
+
+    def __init__(self, args: PairHMMNativeArguments | None = None, *, lane_multiple: int | None = None):
+        self.args = args or PairHMMNativeArguments()
+        self._lane_multiple = lane_multiple
+
+    def initialize(self, args: PairHMMNativeArguments) -> None:
+        self.args = args
+
+    def done(self) -> None:  # parity with IntelPairHmm.done()
+        pass
+
+    # -- functional core ---------------------------------------------------
+    def _raw_batch(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
+        if dtype == "float64" and not utils.supports_native_float64():
+            # TPUs do not execute f64 at full range; the double paths
+            # (pure-double mode and the rescue pass) run on the host CPU
+            # backend — the analogue of the reference's scalar fallback.
+            with utils.f64_scope():
+                return self._raw_batch_impl(packed, dtype)
+        return self._raw_batch_impl(packed, dtype)
+
+    def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
+        raw = pairhmm_ops.pairhmm_raw(
+            packed.hap,
+            packed.read,
+            packed.q,
+            packed.iq,
+            packed.dq,
+            packed.gcp,
+            packed.haplen,
+            packed.rslen,
+            dtype=dtype,
+        )
+        return np.asarray(raw)[: packed.n_real]
+
+    def compute_likelihoods(
+        self,
+        reads: Sequence[ReadData],
+        haplotypes: Sequence[HaplotypeData],
+        likelihoods: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Cross-product likelihoods, read-major (JavaData.h:84-106)."""
+        pairs_read = []
+        pairs_hap = []
+        quals = []
+        for rd in reads:
+            for hp in haplotypes:
+                pairs_read.append(rd.read_bases)
+                pairs_hap.append(hp.haplotype_bases)
+                quals.append((rd.read_quals, rd.insertion_gop, rd.deletion_gop, rd.overall_gcp))
+
+        n = len(pairs_read)
+        out = np.zeros(n, np.float64)
+        groups = batch_mod.group_by_bucket(pairs_hap, pairs_read)
+        for idxs in groups.values():
+            packed = batch_mod.pack_pairs(
+                [pairs_hap[i] for i in idxs],
+                [pairs_read[i] for i in idxs],
+                [quals[i] for i in idxs],
+                lane_multiple=self._lane_multiple,
+            )
+            if self.args.use_double_precision:
+                raw64 = self._raw_batch(packed, "float64")
+                res = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
+            else:
+                raw32 = self._raw_batch(packed, "float32")
+                res = pairhmm_ops.pairhmm_log10_from_raw_f32(raw32)
+                needs_rescue = raw32 < MIN_ACCEPTED
+                if np.any(needs_rescue):
+                    # Double rescue (IntelPairHmm.cc:157-165).  Recompute the
+                    # whole packed batch in f64 and substitute rescued lanes;
+                    # rescues are rare so a finer repack is a later
+                    # optimisation.
+                    raw64 = self._raw_batch(packed, "float64")
+                    res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
+                    res = np.where(needs_rescue, res64, res)
+            out[np.asarray(idxs)] = res
+
+        if likelihoods is not None:
+            likelihoods[:n] = out
+            return likelihoods
+        return out
