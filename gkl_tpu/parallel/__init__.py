@@ -1,0 +1,12 @@
+"""Multi-chip / multi-host runtime (the layer the reference lacks).
+
+The reference's only multi-worker mechanism is OpenMP shared memory
+(``pairhmm/IntelPairHmm.cc:151-153``).  Here batches of pairs are sharded
+data-parallel across a ``jax.sharding.Mesh`` (chips over ICI, hosts over
+DCN) and per-lane results are gathered — likelihood vectors are tiny
+relative to inputs so gather-at-end is cheap.
+"""
+
+from .mesh import data_parallel_mesh, shard_pairs, pairhmm_raw_sharded
+
+__all__ = ["data_parallel_mesh", "shard_pairs", "pairhmm_raw_sharded"]
