@@ -19,6 +19,11 @@ from .api import (  # noqa: E402
     PairHMMNativeArguments,
     ReadData,
 )
+from .api_pdhmm import (  # noqa: E402
+    PDHaplotypeData,
+    PDHMM,
+    PDHMMNativeArguments,
+)
 from .context import MIN_ACCEPTED  # noqa: E402
 
 __version__ = "0.1.0"
@@ -27,6 +32,9 @@ __all__ = [
     "HaplotypeData",
     "PairHMM",
     "PairHMMNativeArguments",
+    "PDHaplotypeData",
+    "PDHMM",
+    "PDHMMNativeArguments",
     "ReadData",
     "MIN_ACCEPTED",
     "__version__",

@@ -1,0 +1,264 @@
+"""PDHMM public API — parity with IntelPDHMM (pdhmm/IntelPDHMM.java:46-220).
+
+Two compute paths like the reference:
+
+* :meth:`PDHMM.compute_pdhmm` — flat batch arrays (+ per-pair lengths),
+  mirroring ``computePDHMM`` (IntelPDHMM.java:163-204) including its size
+  validation.
+* :meth:`PDHMM.compute_likelihoods` — object path over reads x haplotypes
+  (read-major cross product, pdhmm/JavaData.h:186-236) with memory-budgeted
+  batch slicing (pdhmm/JavaData.h:83-97).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from . import batch as batch_mod
+from . import utils
+from .api import HaplotypeData, ReadData, _as_u8
+from .context import MIN_ACCEPTED
+from .ops import pdhmm as pdhmm_ops
+
+
+@dataclasses.dataclass
+class PDHaplotypeData(HaplotypeData):
+    """Haplotype with partially-determined flag bytes."""
+
+    haplotype_pdbases: np.ndarray = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.haplotype_pdbases = np.asarray(self.haplotype_pdbases).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class PDHMMNativeArguments:
+    """Mirror of PDHMMNativeArguments (IntelPDHMM.java:79-89)."""
+
+    max_number_of_threads: int = 0  # 0 = all devices (FASTEST_AVAILABLE)
+    max_memory_in_mb: int = 512
+    use_double_precision: bool = True  # reference kernel is double-only
+
+
+class PDHMM:
+    def __init__(self, args: PDHMMNativeArguments | None = None, *, lane_multiple: int | None = None):
+        self.args = args or PDHMMNativeArguments()
+        self._lane_multiple = lane_multiple
+
+    def initialize(self, args: PDHMMNativeArguments) -> None:
+        self.args = args
+
+    def done(self) -> None:
+        pass
+
+    @property
+    def _dtype(self) -> str:
+        return "float64" if self.args.use_double_precision else "float32"
+
+    # ------------------------------------------------------------------
+    _BOOST_LOG2 = 600.0  # dynamic-range rescue scale (exact power of two)
+    _EXACT_FALLBACK_LOG10 = -590.0  # below this, subnormal quantization matters
+
+    def _run_packed(self, hap, hap_pd, read, q, iq, dq, gcp, haplen, rslen, dtype,
+                    boost_row=None):
+        """Run the kernel on packed (len, lane) arrays; returns log10 result."""
+        states = pdhmm_ops.column_states(hap_pd)
+        if dtype == "float64" and not utils.supports_native_float64():
+            scope = utils.f64_scope()
+        else:
+            import contextlib
+
+            scope = contextlib.nullcontext()
+        boost_log2 = self._BOOST_LOG2 if boost_row is not None else 0.0
+        with scope:
+            raw = np.asarray(
+                pdhmm_ops.pdhmm_raw(
+                    hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+                    boost_row, boost_log2, dtype=dtype,
+                )
+            )
+        import gkl_tpu.context as ctx_mod
+
+        ctx = ctx_mod.pdhmm_context(dtype)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if dtype == "float32":
+                res = (np.log10(raw.astype(np.float32)) - ctx.INITIAL_CONDITION_LOG10).astype(np.float64)
+            else:
+                res = np.log10(raw) - ctx.INITIAL_CONDITION_LOG10
+        if boost_row is not None:
+            res = res - boost_log2 * np.log10(2.0)
+        return res, raw
+
+    def _compute_pairs(
+        self,
+        haps: Sequence[np.ndarray],
+        hap_pds: Sequence[np.ndarray],
+        reads: Sequence[np.ndarray],
+        quals: Sequence[tuple],
+        rescue: bool = True,
+    ) -> np.ndarray:
+        n = len(haps)
+        out = np.zeros(n, np.float64)
+        lane_multiple = self._lane_multiple or batch_mod.default_lane_multiple()
+        # memory-budgeted lane slicing (pdhmm/JavaData.h:83-97): the device
+        # working set per lane is ~ 8 carried doubles per read row plus the
+        # packed inputs.
+        max_r = batch_mod.bucket_length(max(len(r) for r in reads))
+        max_h = batch_mod.bucket_length(max(len(h) for h in haps))
+        bytes_per_lane = max_r * (6 * 8 + 5) + max_h * 3 + 64
+        max_lanes = max(
+            lane_multiple,
+            int(self.args.max_memory_in_mb * 1024 * 1024 // max(1, bytes_per_lane)),
+        )
+        for start in range(0, n, max_lanes):
+            idxs = list(range(start, min(n, start + max_lanes)))
+            packed = batch_mod.pack_pairs(
+                [haps[i] for i in idxs],
+                [reads[i] for i in idxs],
+                [quals[i] for i in idxs],
+                lane_multiple=lane_multiple,
+                qual_fill=40,
+            )
+            # pack PD bytes alongside (zero-padded like JavaData.h:225-227)
+            H, P = packed.hap.shape
+            hap_pd = np.zeros((H, P), np.uint8)
+            for k, i in enumerate(idxs):
+                hap_pd[: len(hap_pds[i]), k] = hap_pds[i]
+
+            dtype = self._dtype
+            res, raw = self._run_packed(
+                packed.hap, hap_pd, packed.read, packed.q, packed.iq, packed.dq,
+                packed.gcp, packed.haplen, packed.rslen, dtype,
+            )
+            res = res[: packed.n_real]
+            raw_n = raw[: packed.n_real]
+            if dtype == "float32" and rescue:
+                needs = raw_n < MIN_ACCEPTED
+                if np.any(needs):
+                    res64, raw64 = self._run_packed(
+                        packed.hap, hap_pd, packed.read, packed.q, packed.iq,
+                        packed.dq, packed.gcp, packed.haplen, packed.rslen, "float64",
+                    )
+                    res = np.where(needs, res64[: packed.n_real], res)
+                    raw_n = np.where(needs, raw64[: packed.n_real], raw_n)
+            # Deep-underflow lanes: XLA flushes f64 subnormals while the
+            # reference relies on gradual underflow (its golden values encode
+            # subnormal quantization).  Below ~1e-283 raw probability the
+            # reference's own intermediates go subnormal, so those lanes are
+            # recomputed with the scalar oracle, whose numpy arithmetic
+            # reproduces gradual underflow bit-for-bit-ish.
+            if rescue:
+                deep = (raw_n == 0.0) | (res < self._EXACT_FALLBACK_LOG10)
+                if np.any(deep):
+                    from .ops import pdhmm_ref
+
+                    for k in np.nonzero(deep)[0]:
+                        i = idxs[k]
+                        res[k] = pdhmm_ref.pdhmm_scalar(
+                            haps[i], hap_pds[i], reads[i], *quals[i]
+                        )
+            out[np.asarray(idxs)] = res
+
+        # Validity checks (pdhmm-serial.cc:432-442): log10 prob must be <= 0.
+        bad = ~np.isfinite(out) & ~np.isneginf(out) | (out > 0.0)
+        if np.any(bad):
+            raise RuntimeError(
+                f"PDHMM produced invalid log10 probabilities at indices {np.nonzero(bad)[0][:10]}"
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    def compute_pdhmm(
+        self,
+        hap_bases,
+        hap_pdbases,
+        read_bases,
+        read_qual,
+        read_ins_qual,
+        read_del_qual,
+        gcp,
+        hap_lengths,
+        read_lengths,
+        batch_size: int | None = None,
+        max_hap_length: int | None = None,
+        max_read_length: int | None = None,
+    ) -> np.ndarray:
+        """Flat-array path (IntelPDHMM.java:163-204).
+
+        Accepts flat 1-D arrays of length batch*maxLen (Java layout) or 2-D
+        (batch, maxLen) arrays.
+        """
+        hap_lengths = np.asarray(hap_lengths, np.int64)
+        read_lengths = np.asarray(read_lengths, np.int64)
+        t = batch_size if batch_size is not None else len(hap_lengths)
+        if t <= 0:
+            raise ValueError("batchSize must be positive")
+
+        def to2d(x, maxlen, name):
+            x = np.asarray(x)
+            if x.ndim == 2:
+                return x.astype(np.uint8)
+            if maxlen is None:
+                if x.size % t:
+                    raise ValueError(f"{name} length {x.size} is not a multiple of batchSize {t}")
+                maxlen = x.size // t
+            if x.size != t * maxlen:
+                raise ValueError(
+                    f"{name} has {x.size} elements, expected batchSize*maxLength = {t * maxlen}"
+                )
+            return x.reshape(t, maxlen).astype(np.uint8)
+
+        hap2 = to2d(hap_bases, max_hap_length, "hap_bases")
+        pd2 = to2d(hap_pdbases, hap2.shape[1], "hap_pdbases")
+        read2 = to2d(read_bases, max_read_length, "read_bases")
+        q2 = to2d(read_qual, read2.shape[1], "read_qual")
+        iq2 = to2d(read_ins_qual, read2.shape[1], "read_ins_qual")
+        dq2 = to2d(read_del_qual, read2.shape[1], "read_del_qual")
+        g2 = to2d(gcp, read2.shape[1], "gcp")
+        if len(hap_lengths) != t or len(read_lengths) != t:
+            raise ValueError("hap_lengths/read_lengths must have batchSize elements")
+        if np.any(hap_lengths <= 0) or np.any(read_lengths <= 0):
+            raise ValueError("sequence lengths must be positive")
+        if np.any(hap_lengths > hap2.shape[1]) or np.any(read_lengths > read2.shape[1]):
+            raise ValueError("per-pair length exceeds the padded max length")
+
+        haps = [hap2[i, : hap_lengths[i]] for i in range(t)]
+        pds = [pd2[i, : hap_lengths[i]] for i in range(t)]
+        reads = [read2[i, : read_lengths[i]] for i in range(t)]
+        quals = [
+            (
+                q2[i, : read_lengths[i]],
+                iq2[i, : read_lengths[i]],
+                dq2[i, : read_lengths[i]],
+                g2[i, : read_lengths[i]],
+            )
+            for i in range(t)
+        ]
+        return self._compute_pairs(haps, pds, reads, quals)
+
+    # ------------------------------------------------------------------
+    def compute_likelihoods(
+        self,
+        reads: Sequence[ReadData],
+        haplotypes: Sequence[PDHaplotypeData],
+        likelihoods: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Object path: read-major cross product (pdhmm/JavaData.h:186-236)."""
+        if not reads or not haplotypes:
+            raise ValueError("Input arrays are empty.")
+        haps, pds, rds, quals = [], [], [], []
+        for rd in reads:
+            for hp in haplotypes:
+                haps.append(hp.haplotype_bases)
+                pds.append(hp.haplotype_pdbases)
+                rds.append(rd.read_bases)
+                quals.append((rd.read_quals, rd.insertion_gop, rd.deletion_gop, rd.overall_gcp))
+        out = self._compute_pairs(haps, pds, rds, quals)
+        if likelihoods is not None:
+            likelihoods[: len(out)] = out
+            return likelihoods
+        return out

@@ -1,0 +1,125 @@
+"""Scalar numpy reference for PDHMM (debugging oracle).
+
+Direct re-derivation of the serial recurrence in
+``src/main/native/pdhmm/pdhmm-serial.cc:279-412``: a PairHMM with three
+extra "branch" matrices and a per-column jump-state machine driven by the
+haplotype's partially-determined (PD) flag bytes
+(``pdhmm/MathUtils.h:66-76``):
+
+* ``DEL_START`` at hap position j-1 -> enter INSIDE_DEL at column j+1
+* ``DEL_END``   at hap position j-1 -> enter AFTER_DEL at column j+1
+  (overrides DEL_START; AFTER_DEL lasts exactly one column)
+* in NORMAL the branch matrices copy the left values, in INSIDE_DEL they
+  freeze, and in AFTER_DEL branch and normal paths max-merge.
+
+Used only in tests; the production kernel is ``ops/pdhmm.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import context as ctx_mod
+
+SNP = 1
+DEL_START = 2
+DEL_END = 4
+_BASE_BIT = {65: 8, 97: 8, 67: 16, 99: 16, 71: 32, 103: 32, 84: 64, 116: 64}  # A C G T upper/lower
+
+NORMAL, INSIDE_DEL, AFTER_DEL = 0, 1, 2
+
+
+def _is_pd_matching(read_byte: int, pd: int) -> bool:
+    if pd & SNP:
+        bit = _BASE_BIT.get(int(read_byte), 0)
+        return (pd & bit) != 0
+    return False
+
+
+def pdhmm_scalar(hap, hap_pd, read, q, iq, dq, gcp, dtype: str = "float64") -> float:
+    """log10 likelihood for a single (hap, read) pair."""
+    ctx = ctx_mod.pdhmm_context(dtype)
+    f = np.dtype(dtype).type
+    q2e = ctx.qual_to_error_prob
+    Hl, Rl = len(hap), len(read)
+
+    def q2e_at(qual):
+        return q2e[min(int(qual) & 0xFF, ctx_mod.MAX_QUAL)]
+
+    # transitions per row (pdhmm-serial.cc:181-226)
+    t_mm = np.zeros(Rl + 1, dtype)
+    t_im = np.zeros(Rl + 1, dtype)
+    t_mi = np.zeros(Rl + 1, dtype)
+    t_ii = np.zeros(Rl + 1, dtype)
+    t_md = np.zeros(Rl + 1, dtype)
+    t_dd = np.zeros(Rl + 1, dtype)
+    for r in range(1, Rl + 1):
+        i_, d_, c_ = int(iq[r - 1]) & 0xFF, int(dq[r - 1]) & 0xFF, int(gcp[r - 1]) & 0xFF
+        t_mm[r] = ctx.set_mm_prob(i_, d_)
+        t_mi[r] = q2e_at(i_)
+        t_md[r] = q2e_at(d_)
+        t_im[r] = f(1.0) - q2e_at(c_)
+        t_ii[r] = t_dd[r] = q2e_at(c_)
+
+    ic = f(ctx.INITIAL_CONDITION) / f(Hl)
+    M = np.zeros((Rl + 1, Hl + 1), dtype)
+    I = np.zeros((Rl + 1, Hl + 1), dtype)
+    D = np.zeros((Rl + 1, Hl + 1), dtype)
+    BM = np.zeros((Rl + 1, Hl + 1), dtype)
+    BI = np.zeros((Rl + 1, Hl + 1), dtype)
+    BD = np.zeros((Rl + 1, Hl + 1), dtype)
+    D[0, :] = ic
+
+    for r in range(1, Rl + 1):
+        x = int(read[r - 1])
+        err = q2e_at(q[r - 1])
+        p_match = f(1.0) - err
+        p_mis = err / f(3.0)
+        state = NORMAL
+        for j in range(1, Hl + 1):
+            y = int(hap[j - 1])
+            pd = int(hap_pd[j - 1])
+            match = (x == y) or x == ord("N") or y == ord("N") or _is_pd_matching(x, pd)
+            prior = p_match if match else p_mis
+
+            # Column 0 of rows >= 1 stays 0 in every matrix (matching the
+            # serial rolling arrays, whose dmDiag resets to 0 except on row 1
+            # where it reads the D[0][0]=ic initial row).
+            m_diag, i_diag, d_diag = M[r - 1, j - 1], I[r - 1, j - 1], D[r - 1, j - 1]
+            bm_diag, bi_diag, bd_diag = BM[r - 1, j - 1], BI[r - 1, j - 1], BD[r - 1, j - 1]
+            m_left, i_left, d_left = M[r, j - 1], I[r, j - 1], D[r, j - 1]
+            bm_left, bi_left, bd_left = BM[r, j - 1], BI[r, j - 1], BD[r, j - 1]
+
+            if state == NORMAL:
+                BM[r, j], BD[r, j], BI[r, j] = m_left, d_left, i_left
+            elif state == INSIDE_DEL:
+                BM[r, j], BD[r, j], BI[r, j] = bm_left, bd_left, bi_left
+            else:  # AFTER_DEL
+                BM[r, j] = max(bm_left, m_left)
+                BD[r, j] = max(bd_left, d_left)
+                BI[r, j] = max(bi_left, i_left)
+                m_diag = max(m_diag, bm_diag)
+                i_diag = max(i_diag, bi_diag)
+                d_diag = max(d_diag, bd_diag)
+                m_left = max(m_left, bm_left)
+                d_left = max(d_left, bd_left)
+
+            M[r, j] = prior * (m_diag * t_mm[r] + i_diag * t_im[r] + d_diag * t_im[r])
+            D[r, j] = m_left * t_md[r] + d_left * t_dd[r]
+
+            if pd & DEL_END:
+                I[r, j] = max(BM[r - 1, j], M[r - 1, j]) * t_mi[r] + max(BI[r - 1, j], I[r - 1, j]) * t_ii[r]
+            else:
+                I[r, j] = M[r - 1, j] * t_mi[r] + I[r - 1, j] * t_ii[r]
+
+            if state == AFTER_DEL:
+                state = NORMAL
+            if pd & DEL_START:
+                state = INSIDE_DEL
+            if pd & DEL_END:
+                state = AFTER_DEL
+
+    total = f(0.0)
+    for j in range(1, Hl + 1):
+        total += M[Rl, j] + I[Rl, j]
+    return float(np.log10(total) - ctx.INITIAL_CONDITION_LOG10)

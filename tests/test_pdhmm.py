@@ -1,0 +1,153 @@
+"""PDHMM golden-data contract tests (IntelPDHMMUnitTest.java:160-257).
+
+Tolerance 1e-4 vs the reference golden TSVs (DOUBLE_ASSERTION_DELTA,
+IntelPDHMMUnitTest.java:33).
+"""
+
+import numpy as np
+import pytest
+
+from gkl_tpu.api_pdhmm import PDHaplotypeData, PDHMM, PDHMMNativeArguments
+from gkl_tpu.api import ReadData
+from gkl_tpu.ops import pdhmm_ref
+
+import golden
+
+TOL = 1e-4
+
+
+def _flat_batch(cases):
+    """Flatten cases into the Java computePDHMM layout (flat padded arrays)."""
+    t = len(cases)
+    max_h = max(len(c.hap) for c in cases)
+    max_r = max(len(c.read) for c in cases)
+    hap = np.zeros((t, max_h), np.uint8)
+    pd = np.zeros((t, max_h), np.uint8)
+    read = np.zeros((t, max_r), np.uint8)
+    q = np.zeros((t, max_r), np.uint8)
+    iq = np.zeros((t, max_r), np.uint8)
+    dq = np.zeros((t, max_r), np.uint8)
+    g = np.zeros((t, max_r), np.uint8)
+    for i, c in enumerate(cases):
+        hap[i, : len(c.hap)] = c.hap
+        pd[i, : len(c.hap)] = c.hap_pd
+        read[i, : len(c.read)] = c.read
+        q[i, : len(c.read)] = c.q
+        iq[i, : len(c.read)] = c.iq
+        dq[i, : len(c.read)] = c.dq
+        g[i, : len(c.read)] = c.gcp
+    hl = np.array([len(c.hap) for c in cases], np.int64)
+    rl = np.array([len(c.read) for c in cases], np.int64)
+    return hap, pd, read, q, iq, dq, g, hl, rl
+
+
+def test_scalar_reference_sample():
+    cases = golden.load_pdhmm_cases("pdhmm_syn_199_68_51.txt")[:8]
+    for c in cases:
+        r = pdhmm_ref.pdhmm_scalar(c.hap, c.hap_pd, c.read, c.q, c.iq, c.dq, c.gcp)
+        assert abs(r - c.expected) < TOL
+
+
+@pytest.mark.parametrize(
+    "fname",
+    ["pdhmm_syn_199_68_51.txt", "pdhmm_syn_990_1_2.txt", "pdhmm_syn_1412_129_223.txt"],
+)
+def test_golden_files_flat_api(fname):
+    cases = golden.load_pdhmm_cases(fname)
+    hmm = PDHMM()
+    args = _flat_batch(cases)
+    # exercise the flat 1-D Java layout for one file, 2-D for the others
+    if fname.endswith("990_1_2.txt"):
+        flat = [a.reshape(-1) for a in args[:7]] + list(args[7:])
+        out = hmm.compute_pdhmm(
+            *flat,
+            batch_size=len(cases),
+            max_hap_length=args[0].shape[1],
+            max_read_length=args[2].shape[1],
+        )
+    else:
+        out = hmm.compute_pdhmm(*args)
+    expected = np.array([c.expected for c in cases])
+    np.testing.assert_allclose(out, expected, atol=TOL)
+
+
+def test_object_path_cross_product():
+    cases = golden.load_pdhmm_cases("pdhmm_syn_199_68_51.txt")[:4]
+    hmm = PDHMM()
+    reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [PDHaplotypeData(c.hap, haplotype_pdbases=c.hap_pd) for c in cases]
+    out = hmm.compute_likelihoods(reads, haps)
+    assert out.shape == (16,)
+    expected = np.array([c.expected for c in cases])
+    np.testing.assert_allclose(out.reshape(4, 4).diagonal(), expected, atol=TOL)
+
+
+def test_memory_budget_slicing():
+    """A tiny maxMemoryInMB forces multi-slice execution with equal results
+    (mirrors IntelPDHMMUnitTest initializing with maxMemoryInMB=10)."""
+    cases = golden.load_pdhmm_cases("pdhmm_syn_199_68_51.txt")[:48]
+    hmm_small = PDHMM(PDHMMNativeArguments(max_memory_in_mb=1), lane_multiple=8)
+    hmm_big = PDHMM()
+    args = _flat_batch(cases)
+    out_small = hmm_small.compute_pdhmm(*args)
+    out_big = hmm_big.compute_pdhmm(*args)
+    np.testing.assert_allclose(out_small, out_big, atol=1e-12)
+
+
+def test_dynamic_range_boost_is_exact():
+    """The 2^600 midpoint rescale changes deep results only by the rescale.
+
+    (Boosting shallow lanes would overflow — the engine only applies it to
+    lanes whose unboosted probability is tiny.)
+    """
+    import gkl_tpu.batch as batch_mod
+    from gkl_tpu.ops import pdhmm as pdhmm_ops
+
+    all_cases = golden.load_pdhmm_cases("pdhmm_syn_1412_129_223.txt")
+    cases = [c for c in all_cases if -560 < c.expected < -350][:8]
+    assert len(cases) >= 2
+    packed = batch_mod.pack_pairs(
+        [c.hap for c in cases],
+        [c.read for c in cases],
+        [(c.q, c.iq, c.dq, c.gcp) for c in cases],
+        lane_multiple=8,
+    )
+    H, P = packed.hap.shape
+    hap_pd = np.zeros((H, P), np.uint8)
+    for k, c in enumerate(cases):
+        hap_pd[: len(c.hap), k] = c.hap_pd
+    states = pdhmm_ops.column_states(hap_pd)
+    base = np.asarray(
+        pdhmm_ops.pdhmm_raw(
+            packed.hap, hap_pd, states, packed.read, packed.q, packed.iq,
+            packed.dq, packed.gcp, packed.haplen, packed.rslen,
+        )
+    )
+    boost_row = np.maximum(packed.rslen // 2, 1).astype(np.int32)
+    # A modest rescale is exactly invertible; very large boosts can overflow
+    # lanes whose mid-row magnitude is still near the f64 ceiling, which is
+    # why the engine applies boosts adaptively (or falls back to the scalar
+    # oracle for reference-parity subnormal quantization).
+    boosted = np.asarray(
+        pdhmm_ops.pdhmm_raw(
+            packed.hap, hap_pd, states, packed.read, packed.q, packed.iq,
+            packed.dq, packed.gcp, packed.haplen, packed.rslen,
+            boost_row, 100.0,
+        )
+    )
+    np.testing.assert_allclose(np.log10(boosted) - 100 * np.log10(2.0), np.log10(base), atol=1e-9)
+
+
+def test_invalid_args():
+    cases = golden.load_pdhmm_cases("pdhmm_syn_199_68_51.txt")[:2]
+    hmm = PDHMM()
+    hap, pd, read, q, iq, dq, g, hl, rl = _flat_batch(cases)
+    with pytest.raises(ValueError):
+        hmm.compute_pdhmm(hap, pd, read, q, iq, dq, g, hl, rl[:1])
+    with pytest.raises(ValueError):
+        hmm.compute_pdhmm(hap.reshape(-1)[:-3], pd, read, q, iq, dq, g, hl, rl,
+                          batch_size=2, max_hap_length=hap.shape[1], max_read_length=read.shape[1])
+    with pytest.raises(ValueError):
+        hmm.compute_pdhmm(hap, pd, read, q, iq, dq, g, np.zeros(2, np.int64), rl)
+    with pytest.raises(ValueError):
+        hmm.compute_likelihoods([], [])
