@@ -1,0 +1,227 @@
+"""Smith-Waterman public API — parity with IntelSmithWaterman
+(smithwaterman/IntelSmithWaterman.java:44-191).
+
+``align`` validates like the Java layer (null/empty, MAX_SW_SEQUENCE_LENGTH
+= 32767, MAXIMUM_SW_MATCH_VALUE = 65536) and returns (cigar, offset).  The
+engine splits work TPU-natively: the O(n*m) score/backtrack DP runs
+lane-batched on device (ops/sw.py), while the O(n+m) maximum selection and
+CIGAR walk run in the native C++ runtime (native/sw_runtime.cc), with a
+pure-Python fallback.  Pairs longer than the device bucket ceiling use the
+native scalar aligner (full 32k range, like the reference's dynamically
+grown matrices, PairWiseSW.h:462-472).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import enum
+from typing import Sequence
+
+import numpy as np
+
+from . import batch as batch_mod
+from . import native_lib
+from .ops import sw as sw_ops
+from .ops import sw_ref
+
+MAX_SW_SEQUENCE_LENGTH = 32 * 1024 - 1
+MAXIMUM_SW_MATCH_VALUE = 64 * 1024
+# beyond this padded size the O(n*m) backtrack tensor stops being a sensible
+# device resident; fall back to the native scalar path
+DEVICE_MAX_LEN = 2048
+
+
+class OverhangStrategy(enum.IntEnum):
+    SOFTCLIP = 9
+    INDEL = 10
+    LEADING_INDEL = 11
+    IGNORE = 12
+
+
+@dataclasses.dataclass
+class SWParameters:
+    match_value: int
+    mismatch_penalty: int
+    gap_open_penalty: int
+    gap_extend_penalty: int
+
+
+@dataclasses.dataclass
+class SWAlignerResult:
+    cigar: str
+    alignment_offset: int
+
+
+def _as_seq(x) -> np.ndarray:
+    if isinstance(x, (bytes, bytearray, str)):
+        if isinstance(x, str):
+            x = x.encode("ascii")
+        return np.frombuffer(bytes(x), dtype=np.uint8)
+    return np.asarray(x).astype(np.uint8)
+
+
+class SmithWaterman:
+    def __init__(self, *, lane_multiple: int | None = None):
+        self._lane_multiple = lane_multiple
+        self._native = native_lib.load("gkl_sw_runtime")
+        if self._native is not None:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            self._native.sw_postprocess.restype = ctypes.c_int
+            self._native.sw_postprocess.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int, i32p, i32p,
+            ]
+            self._native.sw_align_scalar.restype = ctypes.c_int
+            self._native.sw_align_scalar.argtypes = [
+                u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+                ctypes.c_int, i32p, i32p,
+            ]
+
+    def close(self) -> None:
+        pass
+
+    # ------------------------------------------------------------------
+    def align(self, ref, alt, parameters: SWParameters, strategy) -> SWAlignerResult:
+        return self.align_batch([ref], [alt], parameters, strategy)[0]
+
+    def align_batch(
+        self, refs: Sequence, alts: Sequence, parameters: SWParameters, strategy
+    ) -> list[SWAlignerResult]:
+        if parameters is None:
+            raise TypeError("Parameter structure is null.")
+        if strategy is None:
+            raise TypeError("OverhangStrategy is null.")
+        strategy = OverhangStrategy(strategy)
+        refs = [_as_seq(r) for r in refs]
+        alts = [_as_seq(a) for a in alts]
+        for r, a in zip(refs, alts):
+            if r is None or a is None:
+                raise TypeError("Sequence is null.")
+            if len(r) <= 0 or len(a) <= 0:
+                raise ValueError("Cannot align empty sequences")
+            if len(r) > MAX_SW_SEQUENCE_LENGTH or len(a) > MAX_SW_SEQUENCE_LENGTH:
+                raise ValueError(
+                    f"Sequences exceed maximum length of {MAX_SW_SEQUENCE_LENGTH} bytes"
+                )
+        if parameters.match_value > MAXIMUM_SW_MATCH_VALUE:
+            raise ValueError(
+                f"Match value parameter exceeds maximum value of {MAXIMUM_SW_MATCH_VALUE}"
+            )
+
+        out: list[SWAlignerResult | None] = [None] * len(refs)
+
+        device_idx = [
+            k for k in range(len(refs)) if max(len(refs[k]), len(alts[k])) <= DEVICE_MAX_LEN
+        ]
+        scalar_idx = [k for k in range(len(refs)) if k not in set(device_idx)]
+
+        # group device pairs by shape bucket
+        groups: dict[tuple[int, int], list[int]] = {}
+        for k in device_idx:
+            key = (batch_mod.bucket_length(len(refs[k])), batch_mod.bucket_length(len(alts[k])))
+            groups.setdefault(key, []).append(k)
+
+        for (N, M), idxs in groups.items():
+            P = batch_mod.bucket_lanes(len(idxs), self._lane_multiple or batch_mod.default_lane_multiple())
+            ref_a = np.zeros((N, P), np.uint8)
+            alt_a = np.zeros((M, P), np.uint8)
+            # distinct pad bases so padded tails never "match"
+            alt_a[:] = 1
+            reflen = np.ones(P, np.int32)
+            altlen = np.ones(P, np.int32)
+            for c, k in enumerate(idxs):
+                ref_a[: len(refs[k]), c] = refs[k]
+                alt_a[: len(alts[k]), c] = alts[k]
+                reflen[c] = len(refs[k])
+                altlen[c] = len(alts[k])
+
+            bt, lastrow, lastcol = sw_ops.sw_forward(
+                ref_a,
+                alt_a,
+                reflen,
+                altlen,
+                parameters.match_value,
+                parameters.mismatch_penalty,
+                parameters.gap_open_penalty,
+                parameters.gap_extend_penalty,
+                indel_boundary=strategy in (OverhangStrategy.INDEL, OverhangStrategy.LEADING_INDEL),
+            )
+            bt = np.ascontiguousarray(np.asarray(bt))
+            lastrow = np.asarray(lastrow).astype(np.int32, copy=False)
+            lastcol = np.ascontiguousarray(np.asarray(lastcol)).astype(np.int32, copy=False)
+
+            for c, k in enumerate(idxs):
+                n, m = int(reflen[c]), int(altlen[c])
+                out[k] = self._postprocess(
+                    bt[c], n, m, M, np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
+                )
+
+        for k in scalar_idx:
+            out[k] = self._align_scalar(refs[k], alts[k], parameters, strategy)
+
+        return out  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    def _postprocess(self, bt_nm, n, m, m_stride, lastrow, lastcol, strategy) -> SWAlignerResult:
+        if self._native is not None:
+            cap = 2 * max(n, m) + 16
+            buf = ctypes.create_string_buffer(cap)
+            offset = ctypes.c_int32()
+            score = ctypes.c_int32()
+            # bt rows are length m_stride (padded); native walk needs stride m
+            bt_view = bt_nm[:n, :m]
+            if not bt_view.flags["C_CONTIGUOUS"]:
+                bt_view = np.ascontiguousarray(bt_view)
+            self._native.sw_postprocess(
+                bt_view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int(n),
+                ctypes.c_int(m),
+                lastrow[:m].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                lastcol[:n].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int(int(strategy)),
+                buf,
+                ctypes.c_int(cap),
+                ctypes.byref(offset),
+                ctypes.byref(score),
+            )
+            return SWAlignerResult(buf.value.decode("ascii"), int(offset.value))
+        # Python fallback
+        _, max_i, max_j = sw_ref.select_max(lastrow[:m], lastcol[:n], n, m, int(strategy))
+        bt1 = np.zeros((n + 1, m + 1), np.uint8)
+        bt1[1:, 1:] = bt_nm[:n, :m]
+        cigar, offset = sw_ref.cigar_from_btrack(bt1, n, m, max_i, max_j, int(strategy))
+        return SWAlignerResult(cigar, offset)
+
+    def _align_scalar(self, ref, alt, p: SWParameters, strategy) -> SWAlignerResult:
+        if self._native is not None:
+            n, m = len(ref), len(alt)
+            cap = 2 * max(n, m) + 16
+            buf = ctypes.create_string_buffer(cap)
+            offset = ctypes.c_int32()
+            score = ctypes.c_int32()
+            ref_c = np.ascontiguousarray(ref)
+            alt_c = np.ascontiguousarray(alt)
+            self._native.sw_align_scalar(
+                ref_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int(n),
+                alt_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int(m),
+                ctypes.c_int(p.match_value),
+                ctypes.c_int(p.mismatch_penalty),
+                ctypes.c_int(p.gap_open_penalty),
+                ctypes.c_int(p.gap_extend_penalty),
+                ctypes.c_int(int(strategy)),
+                buf,
+                ctypes.c_int(cap),
+                ctypes.byref(offset),
+                ctypes.byref(score),
+            )
+            return SWAlignerResult(buf.value.decode("ascii"), int(offset.value))
+        r = sw_ref.sw_align(
+            ref, alt, p.match_value, p.mismatch_penalty, p.gap_open_penalty,
+            p.gap_extend_penalty, int(strategy),
+        )
+        return SWAlignerResult(r.cigar, r.offset)
