@@ -1,0 +1,106 @@
+"""BGZF (blocked gzip) reader/writer for BAM files.
+
+BAM files are streams of gzip members carrying a ``BC`` extra subfield with
+the compressed block size (SAM spec §4.1); htsjdk's BlockCompressedStreams
+produce/consume exactly this framing.  This module parses and emits that
+framing on top of the parallel block codec, replacing the reference's
+DeflaterIntegrationTest path (writing a BAM through htsjdk with the Intel
+deflater, DeflaterIntegrationTest.java:27-99).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from . import deflate_blocks, inflate_blocks
+
+MAX_BLOCK_DATA = 65280  # uncompressed payload cap per BGZF block (htsjdk)
+# the canonical 28-byte BGZF EOF marker block
+EOF_BLOCK = bytes.fromhex("1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_HEADER = struct.Struct("<4BI2B2H")  # magic(4) mtime xfl os xlen
+
+
+def split_blocks(data: bytes) -> list[bytes]:
+    """Split a BGZF byte stream into raw gzip member byte strings."""
+    blocks = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"not a BGZF stream at offset {pos}")
+        xlen = struct.unpack_from("<H", data, pos + 10)[0]
+        extra = data[pos + 12 : pos + 12 + xlen]
+        bsize = None
+        e = 0
+        while e + 4 <= len(extra):
+            si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from("<H", extra, e + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
+                break
+            e += 4 + slen
+        if bsize is None:
+            raise ValueError(f"gzip member without BC subfield at offset {pos}")
+        blocks.append(data[pos : pos + bsize])
+        pos += bsize
+    return blocks
+
+
+def decompress_block(block: bytes) -> bytes:
+    """Decompress one BGZF block (raw DEFLATE payload inside gzip framing)."""
+    xlen = struct.unpack_from("<H", block, 10)[0]
+    cdata = block[12 + xlen : -8]
+    isize = struct.unpack_from("<I", block, len(block) - 4)[0]
+    out = inflate_blocks([cdata])[0]
+    if len(out) != isize:
+        raise ValueError(f"BGZF isize mismatch: got {len(out)}, expected {isize}")
+    crc = struct.unpack_from("<I", block, len(block) - 8)[0]
+    if zlib.crc32(out) & 0xFFFFFFFF != crc:
+        raise ValueError("BGZF CRC mismatch")
+    return out
+
+
+def decompress(data: bytes, threads: int | None = None) -> bytes:
+    """Decompress a whole BGZF stream (parallel across blocks)."""
+    blocks = split_blocks(data)
+    metas = []
+    cdatas = []
+    for b in blocks:
+        xlen = struct.unpack_from("<H", b, 10)[0]
+        cdatas.append(b[12 + xlen : -8])
+        metas.append(struct.unpack_from("<II", b, len(b) - 8))
+    outs = inflate_blocks(cdatas, threads=threads)
+    for out, (crc, isize) in zip(outs, metas):
+        if len(out) != isize or (zlib.crc32(out) & 0xFFFFFFFF) != crc:
+            raise ValueError("BGZF block corrupt")
+    return b"".join(outs)
+
+
+def _frame(cdata: bytes, raw: bytes) -> bytes:
+    bsize = len(cdata) + 12 + 6 + 8
+    if bsize > 65536:
+        raise ValueError("BGZF block too large")
+    header = (
+        b"\x1f\x8b\x08\x04"  # magic, deflate, FEXTRA
+        + b"\x00\x00\x00\x00"  # mtime
+        + b"\x00\xff"  # xfl, os=unknown
+        + struct.pack("<H", 6)  # xlen
+        + b"BC"
+        + struct.pack("<H", 2)
+        + struct.pack("<H", bsize - 1)
+    )
+    footer = struct.pack("<II", zlib.crc32(raw) & 0xFFFFFFFF, len(raw))
+    return header + cdata + footer
+
+
+def compress(data: bytes, level: int = 6, threads: int | None = None, append_eof: bool = True) -> bytes:
+    """Compress bytes into a BGZF stream (parallel across blocks)."""
+    chunks = [data[i : i + MAX_BLOCK_DATA] for i in range(0, len(data), MAX_BLOCK_DATA)] or [b""]
+    cdatas = deflate_blocks(list(chunks), level=level, nowrap=True, threads=threads)
+    out = bytearray()
+    for raw, cdata in zip(chunks, cdatas):
+        out += _frame(cdata, raw)
+    if append_eof:
+        out += EOF_BLOCK
+    return bytes(out)

@@ -1,0 +1,136 @@
+// Host-side DEFLATE codec stage.
+//
+// The reference accelerates BAM block compression with ISA-L (levels 1-2)
+// and a patched zlib (levels 0,3-9) behind JNI single-shot calls
+// (compression/IntelDeflater.cc:164-362, IntelInflater.cc).  The TPU-native
+// equivalent is a host codec stage that feeds the device pipeline: the same
+// single-shot block semantics on top of system zlib, plus a multi-threaded
+// batch API sized for BGZF block streams (std::thread workers; ctypes calls
+// release the GIL so the pool runs truly parallel).
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int do_deflate(const uint8_t* in, int in_len, uint8_t* out, int out_cap,
+               int level, int nowrap) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  int window = nowrap ? -MAX_WBITS : MAX_WBITS;
+  if (deflateInit2(&zs, level, Z_DEFLATED, window, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return -1;
+  zs.next_in = const_cast<Bytef*>(in);
+  zs.avail_in = (uInt)in_len;
+  zs.next_out = out;
+  zs.avail_out = (uInt)out_cap;
+  int ret = deflate(&zs, Z_FINISH);
+  int written = (int)(out_cap - zs.avail_out);
+  deflateEnd(&zs);
+  if (ret != Z_STREAM_END) return -1;  // output buffer too small or error
+  return written;
+}
+
+int do_inflate(const uint8_t* in, int in_len, uint8_t* out, int out_cap,
+               int nowrap) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  int window = nowrap ? -MAX_WBITS : MAX_WBITS;
+  if (inflateInit2(&zs, window) != Z_OK) return -1;
+  zs.next_in = const_cast<Bytef*>(in);
+  zs.avail_in = (uInt)in_len;
+  zs.next_out = out;
+  zs.avail_out = (uInt)out_cap;
+  int ret = inflate(&zs, Z_FINISH);
+  int written = (int)(out_cap - zs.avail_out);
+  inflateEnd(&zs);
+  if (ret != Z_STREAM_END) return -1;
+  return written;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Single-shot block compress; returns bytes written or -1.
+int gkl_deflate(const uint8_t* in, int in_len, uint8_t* out, int out_cap,
+                int level, int nowrap) {
+  return do_deflate(in, in_len, out, out_cap, level, nowrap);
+}
+
+// Single-shot block decompress (raw DEFLATE when nowrap, zlib otherwise).
+int gkl_inflate(const uint8_t* in, int in_len, uint8_t* out, int out_cap,
+                int nowrap) {
+  return do_inflate(in, in_len, out, out_cap, nowrap);
+}
+
+// Upper bound on the compressed size of a block.
+int gkl_deflate_bound(int in_len) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  deflateInit2(&zs, 6, Z_DEFLATED, -MAX_WBITS, 8, Z_DEFAULT_STRATEGY);
+  int b = (int)deflateBound(&zs, (uLong)in_len);
+  deflateEnd(&zs);
+  return b + 32;
+}
+
+uint32_t gkl_crc32(uint32_t crc, const uint8_t* data, int len) {
+  return (uint32_t)crc32((uLong)crc, data, (uInt)len);
+}
+
+// Parallel batch compress: n blocks at offsets in a packed input buffer.
+// Outputs are written at fixed per-block capacity strides; out_lens[i]
+// receives the compressed size (or -1 on failure).
+void gkl_deflate_batch(const uint8_t* in, const int64_t* in_offsets,
+                       const int32_t* in_lens, int n, uint8_t* out,
+                       int64_t out_stride, int32_t* out_lens, int level,
+                       int nowrap, int n_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      out_lens[i] = do_deflate(in + in_offsets[i], in_lens[i],
+                               out + (int64_t)i * out_stride, (int)out_stride,
+                               level, nowrap);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// Parallel batch decompress with the same packing scheme.
+void gkl_inflate_batch(const uint8_t* in, const int64_t* in_offsets,
+                       const int32_t* in_lens, int n, uint8_t* out,
+                       int64_t out_stride, int32_t* out_lens, int nowrap,
+                       int n_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      out_lens[i] = do_inflate(in + in_offsets[i], in_lens[i],
+                               out + (int64_t)i * out_stride, (int)out_stride,
+                               nowrap);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -1,0 +1,144 @@
+"""Compression contract tests (DeflaterUnitTest / InflaterUnitTest /
+DeflaterIntegrationTest equivalents): lossless round-trips at all levels,
+cross-compatibility with the zlib oracle, factory fallbacks, and a BAM BGZF
+round-trip on the bundled 1 MB BAM."""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from gkl_tpu import compression as comp
+from gkl_tpu.compression import bgzf
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _dna(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)])
+
+
+CORPUS = _dna(1 << 20)  # 1 MB random DNA (CompressionUnitTestBase uses 4 MB)
+
+
+@pytest.mark.parametrize("level", range(0, 10))
+def test_roundtrip_ours_to_ours(level):
+    d = comp.Deflater(level, nowrap=True)
+    d.set_input(CORPUS)
+    d.finish()
+    out = bytearray(len(CORPUS) + (len(CORPUS) >> 1) + 1024)
+    n = d.deflate(out)
+    assert d.finished()
+    i = comp.Inflater(nowrap=True)
+    i.set_input(bytes(out[:n]))
+    dec = bytearray(len(CORPUS))
+    m = i.inflate(dec)
+    assert m == len(CORPUS)
+    assert bytes(dec) == CORPUS
+
+
+@pytest.mark.parametrize("level", range(0, 10))
+def test_ours_to_zlib(level):
+    """Our compressed stream inflates with the independent zlib oracle."""
+    data = CORPUS[: 1 << 18]
+    compressed = comp.raw_deflate(data, level, nowrap=True)
+    assert zlib.decompress(compressed, -zlib.MAX_WBITS) == data
+
+
+@pytest.mark.parametrize("level", [1, 5, 9])
+def test_zlib_to_ours(level):
+    """zlib-compressed streams inflate through our inflater."""
+    data = CORPUS[: 1 << 18]
+    c = zlib.compressobj(level, zlib.DEFLATED, -zlib.MAX_WBITS)
+    compressed = c.compress(data) + c.flush()
+    assert comp.raw_inflate(compressed, nowrap=True) == data
+
+
+def test_zlib_wrapped_roundtrip():
+    data = CORPUS[: 1 << 16]
+    compressed = comp.raw_deflate(data, 6, nowrap=False)
+    assert zlib.decompress(compressed) == data
+    assert comp.raw_inflate(compressed, nowrap=False) == data
+
+
+def test_level_validation():
+    with pytest.raises(ValueError):
+        comp.Deflater(10, True)
+    with pytest.raises(ValueError):
+        comp.Deflater(-2, True)
+    # levels 1-2 with zlib wrapping are rejected (IntelDeflater.java:95-97)
+    with pytest.raises(ValueError):
+        comp.Deflater(1, False)
+    with pytest.raises(ValueError):
+        comp.Deflater(2, False)
+    comp.Deflater(1, True)
+    # inflater only supports nowrap (IntelInflater.java:87-89)
+    with pytest.raises(ValueError):
+        comp.Inflater(False)
+
+
+def test_factory_fallback():
+    d = comp.make_deflater(1, nowrap=False)  # unsupported -> zlib-based fallback
+    d.set_input(CORPUS[:4096])
+    d.finish()
+    out = bytearray(8192)
+    n = d.deflate(out)
+    assert zlib.decompress(bytes(out[:n])) == CORPUS[:4096]
+    i = comp.make_inflater(nowrap=False)
+    dec = bytearray(4096)
+    i.set_input(bytes(out[:n]))
+    assert i.inflate(dec) == 4096
+
+
+def test_input_validation():
+    d = comp.Deflater(6, True)
+    with pytest.raises(TypeError):
+        d.set_input(None)
+    with pytest.raises(IndexError):
+        d.set_input(b"abc", off=-1)
+    with pytest.raises(IndexError):
+        d.set_input(b"abc", off=2, length=2)
+    d.set_input(b"abc")
+    with pytest.raises(ValueError):
+        d.deflate(bytearray(8), off=1)
+    with pytest.raises(IndexError):
+        d.deflate(bytearray(8), length=0)
+    i = comp.Inflater(True)
+    with pytest.raises(TypeError):
+        i.inflate(bytearray(8))
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_batch_blocks(threads):
+    blocks = [_dna(1000 + 37 * k, seed=k) for k in range(64)]
+    compressed = comp.deflate_blocks(blocks, level=4, threads=threads)
+    restored = comp.inflate_blocks(compressed, threads=threads, max_block=1 << 14)
+    assert restored == blocks
+    # oracle check on one block
+    assert zlib.decompress(compressed[3], -zlib.MAX_WBITS) == blocks[3]
+
+
+def test_bgzf_roundtrip_synthetic():
+    data = CORPUS[: 200_000]
+    stream = bgzf.compress(data, level=5)
+    assert stream.endswith(bgzf.EOF_BLOCK)
+    assert bgzf.decompress(stream) == data
+    # gzip module can read BGZF streams too (gzip members concatenated)
+    import gzip
+
+    assert gzip.decompress(stream) == data
+
+
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_bam_bgzf_recompress(level):
+    """Decode the bundled BAM's BGZF blocks, recompress at each level, and
+    verify record-level (byte) equality after re-decode — the
+    DeflaterIntegrationTest.java:27-99 equivalent without the JVM."""
+    with open(os.path.join(DATA_DIR, "HiSeq.1mb.1RG.2k_lines.bam"), "rb") as fh:
+        bam = fh.read()
+    payload = bgzf.decompress(bam)
+    assert payload[:4] == b"BAM\x01"
+    restream = bgzf.compress(payload, level=level)
+    assert bgzf.decompress(restream) == payload
