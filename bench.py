@@ -2,6 +2,13 @@
 
 Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 
+Measurement methodology: the remote-TPU relay in this environment adds
+~25-120 ms of host latency per dispatch/fetch and its ``block_until_ready``
+does not reliably block, so kernels are timed with an on-device
+``lax.fori_loop`` running K iterations (inputs perturbed per iteration so
+nothing folds away, outputs accumulated so nothing is DCE'd) and two K
+values are differenced to cancel fixed dispatch+fetch overhead.
+
 Baseline: the reference publishes no numbers (BASELINE.md), so we anchor to
 the structural speed-of-light of its AVX-512 float kernel: ~13 vector ops
 per 16-cell anti-diagonal step => ~1.2 cells/cycle/core => ~3.0e9 DP
@@ -11,11 +18,12 @@ north-star target is >=10x that per chip.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
 
-# Persistent compile cache: remote TPU compiles are minutes-slow; cache them.
+# Persistent compile cache: remote TPU compiles are slow; cache them.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np  # noqa: E402
@@ -23,35 +31,59 @@ import numpy as np  # noqa: E402
 BASELINE_CELLS_PER_SEC = 3.0e9  # one AVX-512 core, derived (SURVEY.md §6)
 
 
-def bench_pairhmm(R=128, H=224, P=2048, iters=10, dtype="float32"):
-    import jax
-
-    from gkl_tpu.ops.pairhmm import pairhmm_raw
-
-    rng = np.random.default_rng(0)
+def _gatk_like_batch(R, H, P, seed=0):
+    """Realistic batch: reads are mutated haplotype prefixes (likelihoods in
+    f32 range, like HaplotypeCaller's read-vs-assembled-haplotype pairs)."""
+    rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     hap = bases[rng.integers(0, 4, size=(H, P))]
-    read = bases[rng.integers(0, 4, size=(R, P))]
-    q = rng.integers(10, 40, size=(R, P)).astype(np.uint8)
+    read = hap[:R].copy()
+    mut = rng.random((R, P)) < 0.02
+    read[mut] = bases[rng.integers(0, 4, size=int(mut.sum()))]
+    q = rng.integers(20, 40, size=(R, P)).astype(np.uint8)
     iq = rng.integers(30, 45, size=(R, P)).astype(np.uint8)
     dq = rng.integers(30, 45, size=(R, P)).astype(np.uint8)
     gcp = np.full((R, P), 10, np.uint8)
     haplen = np.full(P, H, np.int32)
     rslen = np.full(P, R, np.int32)
+    return hap, read, q, iq, dq, gcp, haplen, rslen
 
-    args = [jax.device_put(a) for a in (hap, read, q, iq, dq, gcp, haplen, rslen)]
 
-    # warmup / compile
-    pairhmm_raw(*args, dtype=dtype).block_until_ready()
+def bench_pairhmm(R=128, H=224, P=2048, iters=100):
+    import jax
+    import jax.numpy as jnp
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pairhmm_raw(*args, dtype=dtype)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas as fn
 
-    cells = float(R) * float(H) * float(P)
-    return cells / dt
+        kw = {}
+    else:
+        from gkl_tpu.ops.pairhmm import pairhmm_raw
+
+        fn = pairhmm_raw
+        kw = {"dtype": "float32"}
+
+    args = [jax.device_put(a) for a in _gatk_like_batch(R, H, P)]
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(a0, a1, a2, a3, a4, a5, a6, a7, n):
+        def body(i, acc):
+            return acc + fn(a0, a1, a2 + (i % 3).astype(jnp.uint8), a3, a4, a5, a6, a7, **kw)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.zeros((P,), jnp.float32)).sum()
+
+    t = {}
+    for n in (2, 2 + iters):
+        np.asarray(loop(*args, n=n))  # warmup/compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(*args, n=n))
+            ts.append(time.perf_counter() - t0)
+        t[n] = min(ts)
+    per_call = (t[2 + iters] - t[2]) / iters
+    return float(R) * float(H) * float(P) / per_call
 
 
 def main():
@@ -60,9 +92,8 @@ def main():
 
         jax.config.update("jax_enable_x64", True)
         backend = jax.default_backend()
-        # Keep the benchmark fast off-TPU (driver runs it on the real chip).
         if backend == "cpu":
-            cells_per_sec = bench_pairhmm(R=32, H=64, P=256, iters=3)
+            cells_per_sec = bench_pairhmm(R=32, H=64, P=256, iters=10)
         else:
             cells_per_sec = bench_pairhmm()
         print(

@@ -87,6 +87,16 @@ class PairHMM:
     def done(self) -> None:  # parity with IntelPairHmm.done()
         pass
 
+    @staticmethod
+    def _use_pallas() -> bool:
+        """Pallas fast path: on TPU unless GKL_TPU_PALLAS=0 (lanes must be
+        multiples of 128, which the TPU lane bucketing guarantees)."""
+        import os
+
+        if os.environ.get("GKL_TPU_PALLAS") == "0":
+            return False
+        return utils.is_tpu_available()
+
     # -- functional core ---------------------------------------------------
     def _raw_batch(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
         if dtype == "float64" and not utils.supports_native_float64():
@@ -98,6 +108,22 @@ class PairHMM:
         return self._raw_batch_impl(packed, dtype)
 
     def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
+        if dtype == "float32" and self._use_pallas():
+            from .ops import pairhmm_pallas
+
+            lane_block = 128 if packed.hap.shape[1] % 256 else 256
+            raw = pairhmm_pallas.pairhmm_raw_pallas(
+                packed.hap,
+                packed.read,
+                packed.q,
+                packed.iq,
+                packed.dq,
+                packed.gcp,
+                packed.haplen,
+                packed.rslen,
+                lane_block=lane_block,
+            )
+            return np.asarray(raw)[: packed.n_real]
         raw = pairhmm_ops.pairhmm_raw(
             packed.hap,
             packed.read,

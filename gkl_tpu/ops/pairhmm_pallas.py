@@ -1,0 +1,303 @@
+"""PairHMM forward kernel in Pallas: VMEM-resident DP state.
+
+The pure-jnp row scan (ops/pairhmm.py) is algorithmically right for TPU but
+XLA materialises every shifted array in HBM between scan steps (concat
+breaks fusion), measuring ~1.4 Gcells/s on v5e.  This kernel keeps the
+M/X/Y rows in VMEM scratch across a ``fori_loop`` over read rows and does
+the column shifts as cheap sublane rolls:
+
+* grid over lane blocks; each program owns (H, LANE_BLOCK) state tiles;
+* per row: one fused elementwise pass for the M/X updates (the three
+  shifted previous-row terms are pre-combined so only one roll is needed);
+* the intra-row Y recurrence runs as a Hillis-Steele affine scan with
+  ``pltpu.roll`` (log2 H levels), entirely in VMEM;
+* per-lane results accumulate into the output row when the lane's read
+  length is reached.
+
+Numerics are identical to ops/pairhmm.py up to float reassociation within
+the same formulas (golden tolerance 1e-5 holds for both).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import context as ctx_mod
+
+_N_CODE = 78
+LANE_BLOCK = 256
+
+
+def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
+            pmx_ref, pxx_ref, pmy_ref, pyy_ref, inity_ref, rslen_ref,
+            haplen_ref, out_ref, m_ref, x_ref, y_ref):
+    H, LP = m_ref.shape
+    R = read_ref.shape[0]
+    f32 = jnp.float32
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (H, LP), 0)
+    hap = hap_ref[:]
+    hap_match_n = hap == _N_CODE
+    inity = inity_ref[:]  # (1, LP)
+    # NOTE: bool->f32 astype hits an infinite recursion in this jax
+    # version's Mosaic convert_element_type lowering; use a select instead.
+    col_valid = jnp.where((row_iota + 1) <= haplen_ref[:], f32(1.0), f32(0.0))
+    rslen = rslen_ref[:]  # (1, LP)
+
+    m_ref[:] = jnp.zeros((H, LP), f32)
+    x_ref[:] = jnp.zeros((H, LP), f32)
+    y_ref[:] = jnp.broadcast_to(inity, (H, LP))
+
+    levels = []
+    k = 1
+    while k < H:
+        levels.append(k)
+        k <<= 1
+
+    def shift1(v, first):
+        # i32 shift operand: x64 Python ints lower to i64, which
+        # tpu.dynamic_rotate rejects
+        return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    def body(r, acc):
+        rc = read_ref[pl.ds(r, 1), :]  # (1, LP)
+        dmatch = dmatch_ref[pl.ds(r, 1), :]
+        dmis = dmis_ref[pl.ds(r, 1), :]
+        pmm = pmm_ref[pl.ds(r, 1), :]
+        pgapm = pgapm_ref[pl.ds(r, 1), :]
+        pmx = pmx_ref[pl.ds(r, 1), :]
+        pxx = pxx_ref[pl.ds(r, 1), :]
+        pmy = pmy_ref[pl.ds(r, 1), :]
+        pyy = pyy_ref[pl.ds(r, 1), :]
+
+        match = (hap == rc) | hap_match_n | (rc == _N_CODE)
+        prior = jnp.where(match, dmatch, dmis)
+
+        m_prev = m_ref[:]
+        x_prev = x_ref[:]
+        y_prev = y_ref[:]
+
+        # combine previous-row terms once, then a single shift
+        t_comb = pmm * m_prev + pgapm * (x_prev + y_prev)
+        y0 = jnp.where(r == 0, inity, jnp.zeros((1, LP), f32))
+        m_new = prior * shift1(t_comb, pgapm * y0)
+        x_new = pmx * m_prev + pxx * x_prev
+
+        # Y[c] = pYY*Y[c-1] + pMY*M[c-1]: Hillis-Steele affine scan
+        b = pmy * shift1(m_new, jnp.zeros((1, LP), f32))
+        a = jnp.broadcast_to(pyy, (H, LP))
+        for k in levels:
+            ks = jnp.int32(k)
+            a_sh = jnp.where(row_iota < k, jnp.float32(1.0), pltpu.roll(a, ks, 0))
+            b_sh = jnp.where(row_iota < k, jnp.float32(0.0), pltpu.roll(b, ks, 0))
+            b = a * b_sh + b
+            a = a * a_sh
+
+        m_ref[:] = m_new
+        x_ref[:] = x_new
+        y_ref[:] = b
+
+        row_sum = jnp.sum((m_new + x_new) * col_valid, axis=0, keepdims=True)
+        return acc + jnp.where(rslen == (r + 1), row_sum, jnp.float32(0.0))
+
+    # int32 bounds: under jax_enable_x64 a Python-int fori_loop counter is
+    # int64, and 64-bit converts send Mosaic's lowering into infinite
+    # recursion.
+    out_ref[:] = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(R), body, jnp.zeros((1, LP), f32)
+    )
+
+
+_LOG2_10 = float(np.log2(10.0))
+
+
+def _ph2pr_arith(qual_i32):
+    """``10^(-q/10)`` computed on the VPU (no table gather).
+
+    Matches the f32 table (powf) to within ~1 ulp; TPU gathers go through
+    the scalar core and cost more than the whole DP kernel.
+    """
+    return jnp.exp2(qual_i32.astype(jnp.float32) * jnp.float32(-_LOG2_10 / 10.0))
+
+
+def _match_to_match_arith(im, dm):
+    """set_mm_prob (Context.h:197-209) evaluated arithmetically in f32.
+
+    The Jacobian-table quantization is exact here: ``diff*1e4`` always lands
+    on the integer ``1000*|i-d|``, so the table lookup equals the closed form
+    ``log10(1 + 10^(-round(diff*1e4)*1e-4))`` evaluated directly.
+    """
+    f = jnp.float32
+    mx = jnp.maximum(im, dm).astype(f)
+    mn = jnp.minimum(im, dm).astype(f)
+    small = f(-0.1) * mx
+    big = f(-0.1) * mn
+    diff = big - small
+    ind = jnp.round(diff * f(10000.0))
+    # log10(1 + 10^(-ind*1e-4)) = log1p(10^(-ind*1e-4)) / ln(10)
+    jac = jnp.where(
+        diff >= f(8.0),
+        f(0.0),
+        jnp.log1p(jnp.exp2(-(ind * f(1e-4)) * f(_LOG2_10))) * f(1.0 / np.log(10.0)),
+    )
+    ls = big + jac
+    p = jnp.minimum(f(1.0), jnp.exp2(ls * f(_LOG2_10)))
+    # 1 - 10^ls  via log1p for accuracy near p ~ 1:
+    m2m_log10 = jnp.log1p(-p) * f(0.434294)  # truncated INV_LN10 (Context.h:78)
+    return jnp.exp2(m2m_log10 * f(_LOG2_10))
+
+
+@functools.lru_cache(maxsize=2)
+def _m2m_2d(dtype: str = "float32") -> np.ndarray:
+    """match-to-match cache reshaped (max_q, min_q) -> (128, 128) for the
+    MXU one-hot gather (PairHMM quals are masked to 7 bits)."""
+    tri = ctx_mod.pairhmm_context(dtype).match_to_match
+    out = np.zeros((128, 128), dtype)
+    for mx in range(128):
+        base = (mx * (mx + 1)) >> 1
+        out[mx, : mx + 1] = tri[base : base + mx + 1]
+    return out
+
+
+def _onehot_gather(table, idx):
+    """Exact table gather as a one-hot matmul (TPU vector gathers go through
+    the scalar core and cost more than the DP kernel; a one-hot f32 matmul
+    at HIGHEST precision reproduces table values bit-exactly)."""
+    K = table.shape[0]
+    oh = (idx.reshape(-1, 1) == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    v = jax.lax.dot_general(
+        oh,
+        table.reshape(K, 1),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return v.reshape(idx.shape)
+
+
+def _m2m_mxu(im, dm):
+    """Exact set_mm_prob via two one-hot contractions over the 2-D cache."""
+    tab = jnp.asarray(_m2m_2d(), jnp.float32)
+    mx = jnp.maximum(im, dm)
+    mn = jnp.minimum(im, dm)
+    oh_mx = (mx.reshape(-1, 1) == jnp.arange(128, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        oh_mx, tab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    oh_mn = (mn.reshape(-1, 1) == jnp.arange(128, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    return jnp.sum(rows * oh_mn, axis=1).reshape(im.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "interpret", "prep"))
+def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: int = LANE_BLOCK, interpret: bool = False, prep: str = "mxu"):
+    """float32 PairHMM forward probability per lane (TPU Pallas path).
+
+    Same contract as ``pairhmm.pairhmm_raw(..., dtype='float32')``; lanes
+    must be a multiple of ``lane_block``.  ``prep`` selects how per-row
+    transition probabilities are produced:
+
+    * "mxu" (default) — exact table values via one-hot matmul gathers
+      (bit-identical to the context tables, MXU-fast);
+    * "table" — plain vector gathers (exact, slow on TPU; fine on CPU);
+    * "arith" — closed-form VPU evaluation (fastest, ~1e-5 relative error on
+      the match-to-match entries: outside the golden 1e-5 contract, kept for
+      throughput-over-parity use).
+    """
+    ctx = ctx_mod.pairhmm_context("float32")
+    f = jnp.float32
+    H, P = hap.shape
+    R = read.shape[0]
+    assert P % lane_block == 0, (P, lane_block)
+
+    qm = (q & 127).astype(jnp.int32)
+    im = (iq & 127).astype(jnp.int32)
+    dm = (dq & 127).astype(jnp.int32)
+    cm = (gcp & 127).astype(jnp.int32)
+    if prep == "arith":
+        p_mm = _match_to_match_arith(im, dm)
+        ph2pr_c = _ph2pr_arith(cm)
+        p_mx = _ph2pr_arith(im)
+        p_my = _ph2pr_arith(dm)
+        distm = _ph2pr_arith(qm)
+    elif prep == "mxu":
+        table = jnp.asarray(ctx.ph2pr, f)
+        p_mm = _m2m_mxu(im, dm)
+        ph2pr_c = _onehot_gather(table, cm)
+        p_mx = _onehot_gather(table, im)
+        p_my = _onehot_gather(table, dm)
+        distm = _onehot_gather(table, qm)
+    else:
+        ph2pr = jnp.asarray(ctx.ph2pr, f)
+        m2m = jnp.asarray(ctx.match_to_match, f)
+        max_q = jnp.maximum(im, dm)
+        min_q = jnp.minimum(im, dm)
+        p_mm = m2m[((max_q * (max_q + 1)) >> 1) + min_q]
+        ph2pr_c = ph2pr[cm]
+        p_mx = ph2pr[im]
+        p_my = ph2pr[dm]
+        distm = ph2pr[qm]
+    p_gapm = f(1.0) - ph2pr_c
+    p_xx = ph2pr_c
+    p_yy = ph2pr_c
+    dmatch = f(1.0) - distm
+    dmis = distm / f(3.0)
+    inity = (jnp.asarray(ctx.INITIAL_CONSTANT, f) / haplen.astype(f))[None, :]
+    hap_i = hap.astype(jnp.int32)
+    read_i = read.astype(jnp.int32)
+    rslen2 = rslen.astype(jnp.int32)[None, :]
+    haplen2 = haplen.astype(jnp.int32)[None, :]
+
+    grid = (P // lane_block,)
+
+    def lane_spec(length):
+        # index_map must yield i32 under jax_enable_x64 (Mosaic rejects i64)
+        return pl.BlockSpec(
+            (length, lane_block),
+            lambda i: (jnp.int32(0), i),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        lane_spec(H),  # hap
+        lane_spec(R),  # read
+        lane_spec(R),  # dmatch
+        lane_spec(R),  # dmis
+        lane_spec(R),  # pmm
+        lane_spec(R),  # pgapm
+        lane_spec(R),  # pmx
+        lane_spec(R),  # pxx
+        lane_spec(R),  # pmy
+        lane_spec(R),  # pyy
+        lane_spec(1),  # inity
+        lane_spec(1),  # rslen
+        lane_spec(1),  # haplen
+    ]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=lane_spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((H, lane_block), jnp.float32),
+            pltpu.VMEM((H, lane_block), jnp.float32),
+            pltpu.VMEM((H, lane_block), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(50 * H * R) * P,
+            bytes_accessed=int((H + 10 * R) * 4) * P,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hap_i, read_i, dmatch, dmis, p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
+      inity, rslen2, haplen2)
+    return out[0]

@@ -1,0 +1,51 @@
+"""Pallas PairHMM kernel: interpret-mode parity with the jnp engine."""
+
+import numpy as np
+
+from gkl_tpu.ops.pairhmm import pairhmm_raw
+from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas, _m2m_2d
+
+
+def _batch(R=16, H=24, P=8, seed=0):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, size=(H, P))]
+    read = hap[:R].copy()
+    mut = rng.random((R, P)) < 0.1
+    read[mut] = bases[rng.integers(0, 4, size=int(mut.sum()))]
+    q = rng.integers(10, 40, size=(R, P)).astype(np.uint8)
+    iq = rng.integers(30, 45, size=(R, P)).astype(np.uint8)
+    dq = rng.integers(30, 45, size=(R, P)).astype(np.uint8)
+    gcp = np.full((R, P), 10, np.uint8)
+    haplen = rng.integers(8, H + 1, P).astype(np.int32)
+    rslen = rng.integers(4, R + 1, P).astype(np.int32)
+    return hap, read, q, iq, dq, gcp, haplen, rslen
+
+
+def test_interpret_matches_jnp():
+    args = _batch()
+    a = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    b = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True, prep="table"))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_mxu_prep_matches_table_prep():
+    args = _batch(seed=3)
+    a = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True, prep="table"))
+    b = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True, prep="mxu"))
+    # one-hot gathers reproduce table values exactly on TPU; on CPU interpret
+    # the dot may round differently, so allow tiny slack
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_m2m_2d_table():
+    from gkl_tpu import context as C
+
+    tab = _m2m_2d()
+    ctx = C.pairhmm_context("float32")
+    rng = np.random.default_rng(0)
+    i = rng.integers(0, 128, 256)
+    d = rng.integers(0, 128, 256)
+    want = ctx.set_mm_prob(i, d)
+    got = tab[np.maximum(i, d), np.minimum(i, d)]
+    np.testing.assert_array_equal(got, want)
