@@ -41,7 +41,13 @@ class PDHMMNativeArguments:
 
     max_number_of_threads: int = 0  # 0 = all devices (FASTEST_AVAILABLE)
     max_memory_in_mb: int = 512
-    use_double_precision: bool = True  # reference kernel is double-only
+    # The reference kernel is double-only; here the default is the
+    # float-first-with-double-rescue architecture (the reference's own
+    # PairHMM pattern, pairhmm/IntelPairHmm.cc:157-165) because f64 is
+    # emulated on TPU.  The rescue chain (f64 recompute below MIN_ACCEPTED,
+    # scalar-oracle recompute for subnormal-range lanes) preserves the
+    # 1e-4 golden contract.  Set True for reference-exact double-only mode.
+    use_double_precision: bool = False
 
 
 class PDHMM:
@@ -74,13 +80,29 @@ class PDHMM:
 
             scope = contextlib.nullcontext()
         boost_log2 = self._BOOST_LOG2 if boost_row is not None else 0.0
+        use_pallas = (
+            dtype == "float32"
+            and boost_row is None
+            and utils.is_tpu_available()
+            and hap.shape[1] % 128 == 0
+            and __import__("os").environ.get("GKL_TPU_PALLAS") != "0"
+        )
         with scope:
-            raw = np.asarray(
-                pdhmm_ops.pdhmm_raw(
-                    hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
-                    boost_row, boost_log2, dtype=dtype,
+            if use_pallas:
+                from .ops import pdhmm_pallas
+
+                raw = np.asarray(
+                    pdhmm_pallas.pdhmm_raw_pallas(
+                        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen
+                    )
                 )
-            )
+            else:
+                raw = np.asarray(
+                    pdhmm_ops.pdhmm_raw(
+                        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+                        boost_row, boost_log2, dtype=dtype,
+                    )
+                )
         import gkl_tpu.context as ctx_mod
 
         ctx = ctx_mod.pdhmm_context(dtype)

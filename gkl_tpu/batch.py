@@ -35,7 +35,7 @@ def default_lane_multiple() -> int:
     """128 on TPU (VPU lane width), 8 elsewhere (cheap for CPU tests)."""
     import jax
 
-    return 128 if jax.default_backend() == "tpu" else 8
+    return 128 if jax.default_backend() in ("tpu", "axon") else 8
 
 
 @dataclasses.dataclass

@@ -1,0 +1,261 @@
+"""PDHMM forward kernel in Pallas: VMEM-resident column-scan DP (float32).
+
+Same recurrence as ``ops/pdhmm.py`` (semantics from the reference serial
+kernel, ``src/main/native/pdhmm/pdhmm-serial.cc:279-412``), but the six DP
+matrices live in VMEM scratch across a ``fori_loop`` over haplotype columns
+instead of being rematerialised in HBM between ``lax.scan`` steps:
+
+* grid over lane blocks; each program owns six (R, LANE_BLOCK) state tiles
+  (match / insertion / deletion and their branch variants);
+* the NORMAL / INSIDE_DEL / AFTER_DEL jump-state machine is row-invariant
+  (column-indexed, pdhmm-serial.cc:370-385), so its per-column predicates are
+  (1, LANE_BLOCK) scalars-per-lane and all branch merges fuse into
+  elementwise selects;
+* diagonal dependencies are sublane ``pltpu.roll``s of the *merged*
+  previous-column values (the AFTER_DEL max-merge commutes with the row
+  shift because the state is row-invariant), 3 rolls per column instead
+  of 6;
+* the within-column insertion recurrence ``I[r] = t_mi*top + t_ii*I[r-1]``
+  (with DEL_END max-merges) is the max-affine map composition solved by a
+  Hillis-Steele scan over rows — identical math to the
+  ``jax.lax.associative_scan`` in ``ops/pdhmm.py``, log2(R) levels in VMEM.
+
+Scaling: float32 uses INITIAL_CONDITION = 2^120 (like the reference's float
+PairHMM context) instead of the double kernel's 2^1020; lanes that underflow
+``MIN_ACCEPTED`` are recomputed by the caller in float64 (the reference's
+float->double rescue pattern, pairhmm/IntelPairHmm.cc:157-165).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import context as ctx_mod
+from .pdhmm import DEL_END, SNP, _N_CODE
+
+LANE_BLOCK = 128
+
+# read byte -> PD SNP-match bit {A:8, C:16, G:32, T:64}, case-folded; bases
+# outside ACGT get 0 so the (pd & bit) test is false (pdhmm/MathUtils.h:66-76).
+_READ_BIT = np.zeros(256, np.int32)
+for _c, _b in ((65, 8), (97, 8), (67, 16), (99, 16), (71, 32), (103, 32), (84, 64), (116, 64)):
+    _READ_BIT[_c] = _b
+
+_ST_NORMAL, _ST_INSIDE, _ST_AFTER = 0, 1, 2
+
+
+def _kernel(hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref, tmi_ref,
+            tmd_ref, tim_ref, tdd_ref, pmatch_ref, pmis_ref, ic_ref,
+            haplen_ref, rslen_ref, out_ref,
+            m_ref, i_ref, d_ref, bm_ref, bi_ref, bd_ref):
+    R, LP = m_ref.shape
+    H = hap_ref.shape[0]
+    f32 = jnp.float32
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LP), 0)
+    read_i = read_ref[:]
+    rbit = rbit_ref[:]
+    read_is_n = read_i == _N_CODE
+    p_match = pmatch_ref[:]
+    p_mis = pmis_ref[:]
+    t_mm = tmm_ref[:]
+    t_mi = tmi_ref[:]
+    t_md = tmd_ref[:]
+    t_im = tim_ref[:]
+    t_dd = tdd_ref[:]
+    ic = ic_ref[:]  # (1, LP)
+    haplen = haplen_ref[:]
+    # mask selecting each lane's last real read row (result accumulation row)
+    last_row = jnp.where((row_iota + 1) == rslen_ref[:], f32(1.0), f32(0.0))
+
+    zero = jnp.zeros((R, LP), f32)
+    m_ref[:] = zero
+    i_ref[:] = zero
+    d_ref[:] = zero
+    bm_ref[:] = zero
+    bi_ref[:] = zero
+    bd_ref[:] = zero
+
+    def shift1(v, first):
+        # i32 shift operand (i64 is rejected by tpu.dynamic_rotate)
+        return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    zrow = jnp.zeros((1, LP), f32)
+
+    # Hillis-Steele ``a`` products are column-invariant (t_ii depends only on
+    # row quals), so the per-level accumulated products are hoisted out of
+    # the column loop: a_levels[l] is the product of a over the 2^l-row span.
+    a_levels = []
+    a_acc = t_dd  # t_ii == t_dd
+    k = 1
+    while k < R:
+        a_levels.append((k, a_acc))
+        a_acc = a_acc * jnp.where(row_iota >= k, pltpu.roll(a_acc, jnp.int32(k), 0), f32(1.0))
+        k <<= 1
+
+    def body(j, acc):
+        hap_b = hap_ref[pl.ds(j, 1), :]  # (1, LP) i32
+        pd_b = pd_ref[pl.ds(j, 1), :]
+        st_b = st_ref[pl.ds(j, 1), :]
+        st_n = st_b == _ST_NORMAL
+        st_i = st_b == _ST_INSIDE
+        st_a = st_b == _ST_AFTER
+        del_end = (pd_b & DEL_END) != 0
+
+        # prior for this column, all rows (pdhmm-serial.cc:254-277)
+        pd_match = ((pd_b & SNP) != 0) & ((pd_b & rbit) != 0)
+        match = (read_i == hap_b) | read_is_n | (hap_b == _N_CODE) | pd_match
+        prior = jnp.where(match, p_match, p_mis)
+
+        m_l = m_ref[:]
+        i_l = i_ref[:]
+        d_l = d_ref[:]
+        bm_l = bm_ref[:]
+        bi_l = bi_ref[:]
+        bd_l = bd_ref[:]
+
+        # branch matrices for this column (pdhmm-serial.cc:331-368)
+        bm = jnp.where(st_n, m_l, jnp.where(st_i, bm_l, jnp.maximum(bm_l, m_l)))
+        bi = jnp.where(st_n, i_l, jnp.where(st_i, bi_l, jnp.maximum(bi_l, i_l)))
+        bd = jnp.where(st_n, d_l, jnp.where(st_i, bd_l, jnp.maximum(bd_l, d_l)))
+
+        # AFTER_DEL max-merged left values; the state is row-invariant, so the
+        # merge commutes with the diagonal row shift.
+        m_left_e = jnp.where(st_a, jnp.maximum(m_l, bm_l), m_l)
+        i_left_e = jnp.where(st_a, jnp.maximum(i_l, bi_l), i_l)
+        d_left_e = jnp.where(st_a, jnp.maximum(d_l, bd_l), d_l)
+
+        m_dg = shift1(m_left_e, zrow)
+        i_dg = shift1(i_left_e, zrow)
+        d_dg = shift1(d_left_e, ic)  # row 0 of D is ic at every column
+
+        m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
+        d = m_left_e * t_md + d_left_e * t_dd
+
+        # insertion: I[r] = t_mi[r]*top_m + t_ii[r]*(del_end ? max(BI[r-1],
+        # I[r-1]) : I[r-1]) composed as max-affine maps x -> max(c, a*x + b)
+        # (identity (0, 1, 0) is valid on the nonnegative domain).
+        m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
+        b = t_mi * shift1(m_eff, zrow)
+        c = jnp.where(del_end, b + t_dd * shift1(bi, zrow), zero)
+        for k, a_k in a_levels:
+            ks = jnp.int32(k)
+            in_range = row_iota >= k
+            c_sh = jnp.where(in_range, pltpu.roll(c, ks, 0), f32(0.0))
+            b_sh = jnp.where(in_range, pltpu.roll(b, ks, 0), f32(0.0))
+            c = jnp.maximum(c, a_k * c_sh + b)
+            b = a_k * b_sh + b
+        ins = jnp.maximum(c, b)  # applied to I[0] = 0
+
+        m_ref[:] = m
+        i_ref[:] = ins
+        d_ref[:] = d
+        bm_ref[:] = bm
+        bi_ref[:] = bi
+        bd_ref[:] = bd
+
+        valid = jnp.where((j + 1) <= haplen, f32(1.0), f32(0.0))  # (1, LP)
+        col_sum = jnp.sum((m + ins) * last_row, axis=0, keepdims=True)
+        return acc + col_sum * valid
+
+    out_ref[:] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, zrow)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
+def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+                     *, lane_block: int = LANE_BLOCK, interpret: bool = False):
+    """float32 PDHMM forward probability per lane (TPU Pallas path).
+
+    Same contract as ``pdhmm.pdhmm_raw(..., dtype='float32')`` without the
+    boost arguments (underflow rescue is the caller's float64 pass); lanes
+    must be a multiple of ``lane_block``.
+    """
+    ctx = ctx_mod.pdhmm_context("float32")
+    f = jnp.float32
+    H, P = hap.shape
+    R = read.shape[0]
+    assert P % lane_block == 0, (P, lane_block)
+
+    q2e = jnp.asarray(ctx.qual_to_error_prob, f)
+    m2m = jnp.asarray(ctx.match_to_match, f)
+
+    def qidx(x):
+        return jnp.minimum(x.astype(jnp.int32), ctx_mod.MAX_QUAL)
+
+    im = qidx(iq)
+    dm = qidx(dq)
+    cm = qidx(gcp)
+    qm = qidx(q)
+
+    # per-row transitions (pdhmm-serial.cc:181-226), gathered once on host of
+    # the kernel — O(R*P) vs the kernel's O(H*R*P)
+    max_q = jnp.maximum(im, dm)
+    min_q = jnp.minimum(im, dm)
+    t_mm = m2m[((max_q * (max_q + 1)) >> 1) + min_q]
+    t_mi = q2e[im]
+    t_md = q2e[dm]
+    t_im = f(1.0) - q2e[cm]
+    t_dd = q2e[cm]
+
+    err = q2e[qm]
+    p_match = f(1.0) - err
+    p_mis = err / f(3.0)
+
+    read_i = read.astype(jnp.int32)
+    rbit = jnp.asarray(_READ_BIT)[read_i]
+    ic = (jnp.asarray(ctx.INITIAL_CONDITION, f) / haplen.astype(f))[None, :]
+    hap_i = hap.astype(jnp.int32)
+    pd_i = hap_pd.astype(jnp.int32)
+    st_i = states.astype(jnp.int32)
+    haplen2 = haplen.astype(jnp.int32)[None, :]
+    rslen2 = rslen.astype(jnp.int32)[None, :]
+
+    grid = (P // lane_block,)
+
+    def lane_spec(length):
+        return pl.BlockSpec(
+            (length, lane_block),
+            lambda i: (jnp.int32(0), i),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        lane_spec(H),  # hap
+        lane_spec(H),  # pd
+        lane_spec(H),  # states
+        lane_spec(R),  # read
+        lane_spec(R),  # rbit
+        lane_spec(R),  # t_mm
+        lane_spec(R),  # t_mi
+        lane_spec(R),  # t_md
+        lane_spec(R),  # t_im
+        lane_spec(R),  # t_dd
+        lane_spec(R),  # p_match
+        lane_spec(R),  # p_mis
+        lane_spec(1),  # ic
+        lane_spec(1),  # haplen
+        lane_spec(1),  # rslen
+    ]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=lane_spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R, lane_block), jnp.float32)] * 6,
+        cost_estimate=pl.CostEstimate(
+            flops=int(80 * H * R) * P,
+            bytes_accessed=int((3 * H + 9 * R) * 4) * P,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
+      p_match, p_mis, ic, haplen2, rslen2)
+    return out[0]
