@@ -1,0 +1,227 @@
+"""Full benchmark suite: one JSON line per kernel/stage.
+
+``bench.py`` at the repo root prints the single driver headline metric
+(PairHMM DP cells/s); this suite covers every engine and the host codec:
+
+* pairhmm  — Pallas f32 forward, DP cells/s (on-device loop differencing)
+* pdhmm    — Pallas f32 forward, DP cells/s
+* sw       — score+backtrack DP, DP cells/s (device-only)
+* deflate / inflate — native block codec, MB/s per level
+* bam_pipeline — BAM -> codec -> batch -> device PairHMM, reads/s
+
+Usage: python benchmarks/suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def _emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit, **extra}), flush=True)
+
+
+def _device_loop_time(fn_loop, args, iters):
+    """Min wall time of jitted fori-loop at two iteration counts, differenced
+    to cancel dispatch/fetch overhead (see bench.py methodology)."""
+    t = {}
+    for n in (2, 2 + iters):
+        np.asarray(fn_loop(*args, n=n))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn_loop(*args, n=n))
+            ts.append(time.perf_counter() - t0)
+        t[n] = min(ts)
+    return (t[2 + iters] - t[2]) / iters
+
+
+def _gatk_like_batch(R, H, P, seed=0):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    hap = bases[rng.integers(0, 4, size=(H, P))]
+    read = hap[:R].copy()
+    mut = rng.random((R, P)) < 0.02
+    read[mut] = bases[rng.integers(0, 4, size=int(mut.sum()))]
+    q = rng.integers(20, 40, size=(R, P)).astype(np.uint8)
+    iq = rng.integers(30, 45, size=(R, P)).astype(np.uint8)
+    dq = rng.integers(30, 45, size=(R, P)).astype(np.uint8)
+    gcp = np.full((R, P), 10, np.uint8)
+    haplen = np.full(P, H, np.int32)
+    rslen = np.full(P, R, np.int32)
+    return hap, read, q, iq, dq, gcp, haplen, rslen
+
+
+def bench_pairhmm(on_tpu, quick):
+    import jax
+    import jax.numpy as jnp
+
+    R, H, P, iters = (32, 64, 256, 10) if quick or not on_tpu else (128, 224, 2048, 100)
+    if on_tpu:
+        from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas as fn
+
+        kw = {}
+    else:
+        from gkl_tpu.ops.pairhmm import pairhmm_raw as fn
+
+        kw = {"dtype": "float32"}
+    args = [jax.device_put(a) for a in _gatk_like_batch(R, H, P)]
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(a0, a1, a2, a3, a4, a5, a6, a7, n):
+        def body(i, acc):
+            return acc + fn(a0, a1, a2 + (i % 3).astype(jnp.uint8), a3, a4, a5, a6, a7, **kw)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.zeros((P,), jnp.float32)).sum()
+
+    per = _device_loop_time(loop, args, iters)
+    _emit("pairhmm_dp_cells_per_sec", R * H * P / per, "cells/s", shape=[R, H, P])
+
+
+def bench_pdhmm(on_tpu, quick):
+    import jax
+    import jax.numpy as jnp
+
+    from gkl_tpu.ops import pdhmm as pdhmm_ops
+
+    R, H, P, iters = (32, 64, 256, 5) if quick or not on_tpu else (128, 224, 2048, 40)
+    hap, read, q, iq, dq, gcp, haplen, rslen = _gatk_like_batch(R, H, P)
+    rng = np.random.default_rng(1)
+    hap_pd = np.zeros((H, P), np.uint8)
+    for p in range(P):
+        j = rng.integers(4, H - 8)
+        hap_pd[j, p] = 2
+        hap_pd[j + 3, p] = 4
+    states = pdhmm_ops.column_states(hap_pd)
+    args = [jax.device_put(a) for a in (hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen)]
+
+    if on_tpu:
+        from gkl_tpu.ops.pdhmm_pallas import pdhmm_raw_pallas as fn
+    else:
+        fn = functools.partial(pdhmm_ops.pdhmm_raw, dtype="float32")
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(a0, a1, a2, a3, a4, a5, a6, a7, a8, a9, n):
+        def body(i, acc):
+            return acc + fn(a0, a1, a2, a3, a4 + (i % 3).astype(jnp.uint8), a5, a6, a7, a8, a9)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.zeros((P,), jnp.float32)).sum()
+
+    per = _device_loop_time(loop, args, iters)
+    _emit("pdhmm_dp_cells_per_sec", R * H * P / per, "cells/s", shape=[R, H, P])
+
+
+def bench_sw(on_tpu, quick):
+    import jax
+    import jax.numpy as jnp
+
+    from gkl_tpu.ops import sw as sw_ops
+
+    N, M, P, iters = (64, 64, 64, 5) if quick or not on_tpu else (160, 160, 512, 20)
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rng.integers(0, 4, size=(N, P))]
+    alt = ref[:M].copy()
+    mut = rng.random((M, P)) < 0.05
+    alt[mut] = bases[rng.integers(0, 4, size=int(mut.sum()))]
+    reflen = np.full(P, N, np.int32)
+    altlen = np.full(P, M, np.int32)
+    args = [jax.device_put(a) for a in (ref, alt, reflen, altlen)]
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(ref, alt, reflen, altlen, n):
+        def body(i, acc):
+            bt, lr, lc = sw_ops.sw_forward(
+                ref, alt, reflen, altlen + (i % 2).astype(jnp.int32),
+                200, -150, -260, -11, indel_boundary=False,
+            )
+            return acc + jnp.sum(bt.astype(jnp.float32)) + jnp.sum(lr).astype(jnp.float32)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.float32(0))
+
+    per = _device_loop_time(loop, args, iters)
+    _emit("sw_dp_cells_per_sec", N * M * P / per, "cells/s", shape=[N, M, P])
+
+
+def bench_codec(quick):
+    from gkl_tpu import compression as comp
+
+    rng = np.random.default_rng(0)
+    n = (1 << 20) if quick else (4 << 20)
+    data = bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)])
+    blocks = [data[i : i + 65280] for i in range(0, len(data), 65280)]
+    for level in (1, 6):
+        t0 = time.perf_counter()
+        compressed = comp.deflate_blocks(blocks, level=level)
+        dt = time.perf_counter() - t0
+        _emit(f"deflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
+              ratio=sum(map(len, compressed)) / n)
+        t0 = time.perf_counter()
+        comp.inflate_blocks(compressed)
+        dt = time.perf_counter() - t0
+        _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s")
+
+
+def bench_bam_pipeline(quick):
+    from gkl_tpu import bam as bam_mod
+    from gkl_tpu import pipeline
+    from gkl_tpu.api import HaplotypeData
+
+    bam_path = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
+                            "HiSeq.1mb.1RG.2k_lines.bam")
+    if not os.path.exists(bam_path):
+        return
+    _, records = bam_mod.read_bam(bam_path, limit=8)
+    haps = [HaplotypeData(records[i].seq) for i in (0, 1)]
+    limit = 128 if quick else None
+    # warm (compile) pass, then timed pass
+    pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=512)
+    t0 = time.perf_counter()
+    res = pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=512)
+    dt = time.perf_counter() - t0
+    _emit("bam_pipeline_reads_per_sec", len(res.read_names) / dt, "reads/s",
+          n_reads=len(res.read_names), n_haplotypes=len(haps))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list: pairhmm,pdhmm,sw,codec,bam")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    _emit("backend", 1.0 if on_tpu else 0.0, "is_tpu", name=jax.default_backend())
+
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
+
+    if want("pairhmm"):
+        bench_pairhmm(on_tpu, args.quick)
+    if want("pdhmm"):
+        bench_pdhmm(on_tpu, args.quick)
+    if want("sw"):
+        bench_sw(on_tpu, args.quick)
+    if want("codec"):
+        bench_codec(args.quick)
+    if want("bam"):
+        bench_bam_pipeline(args.quick)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

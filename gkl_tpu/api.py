@@ -14,6 +14,7 @@ product in read-major order (``pairhmm/JavaData.h:84-106``).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Sequence
 
 import numpy as np
@@ -155,6 +156,9 @@ class PairHMM:
 
         n = len(pairs_read)
         out = np.zeros(n, np.float64)
+        from . import profiling
+
+        t0 = time.perf_counter() if profiling.metrics_enabled() else 0.0
         groups = batch_mod.group_by_bucket(pairs_hap, pairs_read)
         for idxs in groups.values():
             packed = batch_mod.pack_pairs(
@@ -179,6 +183,12 @@ class PairHMM:
                     res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
                     res = np.where(needs_rescue, res64, res)
             out[np.asarray(idxs)] = res
+
+        if profiling.metrics_enabled():
+            cells = sum(len(r) * len(h) for r, h in zip(pairs_read, pairs_hap))
+            profiling.METRICS.record(
+                "pairhmm", items=n, cells=cells, seconds=time.perf_counter() - t0
+            )
 
         if likelihoods is not None:
             likelihoods[:n] = out

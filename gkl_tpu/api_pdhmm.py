@@ -123,6 +123,11 @@ class PDHMM:
         quals: Sequence[tuple],
         rescue: bool = True,
     ) -> np.ndarray:
+        import time as _time
+
+        from . import profiling
+
+        t0 = _time.perf_counter() if profiling.metrics_enabled() else 0.0
         n = len(haps)
         out = np.zeros(n, np.float64)
         lane_multiple = self._lane_multiple or batch_mod.default_lane_multiple()
@@ -184,6 +189,12 @@ class PDHMM:
                             haps[i], hap_pds[i], reads[i], *quals[i]
                         )
             out[np.asarray(idxs)] = res
+
+        if profiling.metrics_enabled():
+            cells = sum(len(r) * len(h) for r, h in zip(reads, haps))
+            profiling.METRICS.record(
+                "pdhmm", items=n, cells=cells, seconds=_time.perf_counter() - t0
+            )
 
         # Validity checks (pdhmm-serial.cc:432-442): log10 prob must be <= 0.
         bad = ~np.isfinite(out) & ~np.isneginf(out) | (out > 0.0)

@@ -111,6 +111,12 @@ class SmithWaterman:
                 f"Match value parameter exceeds maximum value of {MAXIMUM_SW_MATCH_VALUE}"
             )
 
+        import time as _time
+
+        from . import profiling
+
+        t0 = _time.perf_counter() if profiling.metrics_enabled() else 0.0
+
         out: list[SWAlignerResult | None] = [None] * len(refs)
 
         device_idx = [
@@ -161,6 +167,13 @@ class SmithWaterman:
 
         for k in scalar_idx:
             out[k] = self._align_scalar(refs[k], alts[k], parameters, strategy)
+
+        if profiling.metrics_enabled():
+            cells = sum(len(r) * len(a) for r, a in zip(refs, alts))
+            profiling.METRICS.record(
+                "smithwaterman", items=len(refs), cells=cells,
+                seconds=_time.perf_counter() - t0,
+            )
 
         return out  # type: ignore[return-value]
 
