@@ -112,7 +112,7 @@ class PairHMM:
         if dtype == "float32" and self._use_pallas():
             from .ops import pairhmm_pallas
 
-            lane_block = 128 if packed.hap.shape[1] % 256 else 256
+            lane_block = 128
             raw = pairhmm_pallas.pairhmm_raw_pallas(
                 packed.hap,
                 packed.read,

@@ -31,7 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import context as ctx_mod
 
 _N_CODE = 78
-LANE_BLOCK = 256
+# 128 measured fastest on v5e (vs 256/512: better cross-program pipelining,
+# lower VMEM pressure)
+LANE_BLOCK = 128
 
 
 def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
@@ -89,15 +91,20 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         m_new = prior * shift1(t_comb, pgapm * y0)
         x_new = pmx * m_prev + pxx * x_prev
 
-        # Y[c] = pYY*Y[c-1] + pMY*M[c-1]: Hillis-Steele affine scan
+        # Y[c] = pYY*Y[c-1] + pMY*M[c-1]: the coefficient pYY is per-row,
+        # i.e. CONSTANT along the scanned column axis, so the affine-map
+        # Hillis-Steele collapses to the constant-coefficient form
+        #   b[c] += pYY^(2^k) * b[c - 2^k]
+        # with the pYY powers from (1, LP) scalar squarings — one roll and
+        # one fused multiply-add per level instead of two rolls and three
+        # multiplies.
         b = pmy * shift1(m_new, jnp.zeros((1, LP), f32))
-        a = jnp.broadcast_to(pyy, (H, LP))
+        alpha = pyy  # (1, LP)
         for k in levels:
             ks = jnp.int32(k)
-            a_sh = jnp.where(row_iota < k, jnp.float32(1.0), pltpu.roll(a, ks, 0))
             b_sh = jnp.where(row_iota < k, jnp.float32(0.0), pltpu.roll(b, ks, 0))
-            b = a * b_sh + b
-            a = a * a_sh
+            b = alpha * b_sh + b
+            alpha = alpha * alpha
 
         m_ref[:] = m_new
         x_ref[:] = x_new
