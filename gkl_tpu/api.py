@@ -88,13 +88,20 @@ class PairHMM:
     def done(self) -> None:  # parity with IntelPairHmm.done()
         pass
 
-    @staticmethod
-    def _use_pallas() -> bool:
+    # Longest haplotype bucket the Pallas kernel holds in VMEM scratch
+    # (3 state tiles of (H, 128) f32 plus inputs; 16 MB VMEM on v5e).
+    PALLAS_MAX_HAP = 2048
+
+    @classmethod
+    def _use_pallas(cls, hap_len: int = 0) -> bool:
         """Pallas fast path: on TPU unless GKL_TPU_PALLAS=0 (lanes must be
-        multiples of 128, which the TPU lane bucketing guarantees)."""
+        multiples of 128, which the TPU lane bucketing guarantees).  Very
+        long haplotypes exceed VMEM scratch and take the jnp scan path."""
         import os
 
         if os.environ.get("GKL_TPU_PALLAS") == "0":
+            return False
+        if hap_len > cls.PALLAS_MAX_HAP:
             return False
         return utils.is_tpu_available()
 
@@ -109,7 +116,7 @@ class PairHMM:
         return self._raw_batch_impl(packed, dtype)
 
     def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
-        if dtype == "float32" and self._use_pallas():
+        if dtype == "float32" and self._use_pallas(packed.hap.shape[0]):
             from .ops import pairhmm_pallas
 
             lane_block = 128
@@ -194,3 +201,21 @@ class PairHMM:
             likelihoods[:n] = out
             return likelihoods
         return out
+
+
+class PairHMMOMP(PairHMM):
+    """Parity alias for IntelPairHmmOMP (pairhmm/IntelPairHmmOMP.java:29-35).
+
+    The reference variant only swaps in an OpenMP-enabled native library;
+    here batch parallelism is always on (SPMD lanes + the dp mesh), so this
+    is the same engine under the reference's other name.
+    """
+
+
+class PairHMMFpga(PairHMM):
+    """Parity alias for IntelPairHmmFpga (pairhmm/IntelPairHmmFpga.java:36-39).
+
+    The reference class warns that FPGA is unsupported and falls back to
+    software; here the accelerator is the TPU, so ``load`` semantics are
+    "supported" and the engine is identical.
+    """

@@ -80,11 +80,14 @@ class PDHMM:
 
             scope = contextlib.nullcontext()
         boost_log2 = self._BOOST_LOG2 if boost_row is not None else 0.0
+        # 6 VMEM state tiles of (R, 128) f32 plus ~12 input tiles cap the
+        # read bucket the Pallas kernel can hold (16 MB VMEM on v5e).
         use_pallas = (
             dtype == "float32"
             and boost_row is None
             and utils.is_tpu_available()
             and hap.shape[1] % 128 == 0
+            and read.shape[0] <= 1024
             and __import__("os").environ.get("GKL_TPU_PALLAS") != "0"
         )
         with scope:

@@ -7,6 +7,12 @@ DCN) and per-lane results are gathered — likelihood vectors are tiny
 relative to inputs so gather-at-end is cheap.
 """
 
+from .distributed import (
+    global_mesh,
+    host_local_slice,
+    initialize,
+    make_global_array,
+)
 from .mesh import (
     data_parallel_mesh,
     pairhmm_raw_sharded,
@@ -17,6 +23,10 @@ from .mesh import (
 
 __all__ = [
     "data_parallel_mesh",
+    "global_mesh",
+    "host_local_slice",
+    "initialize",
+    "make_global_array",
     "pairhmm_raw_sharded",
     "pdhmm_raw_sharded",
     "shard_pairs",

@@ -1,0 +1,55 @@
+"""Multi-host helper tests (single-process degradation + global assembly)."""
+
+import jax
+import numpy as np
+
+from gkl_tpu import parallel
+
+
+def test_initialize_single_process_noop():
+    parallel.initialize(num_processes=1)  # must not raise
+    assert jax.process_count() == 1
+
+
+def test_host_local_slice_single_process():
+    s = parallel.host_local_slice(64)
+    assert (s.start, s.stop) == (0, 64)
+
+
+def test_make_global_array_roundtrip():
+    mesh = parallel.global_mesh()
+    n_dev = mesh.size
+    shard = np.arange(16 * 4 * n_dev, dtype=np.float32).reshape(16, 4 * n_dev)
+    arr = parallel.make_global_array(shard, mesh, axis=-1)
+    assert arr.shape == shard.shape  # single process: global == local
+    np.testing.assert_array_equal(np.asarray(arr), shard)
+
+
+def test_sharded_pairhmm_on_global_mesh():
+    from gkl_tpu.batch import PackedPairs
+    from gkl_tpu.ops.pairhmm import pairhmm_raw
+
+    mesh = parallel.global_mesh()
+    P = 8 * mesh.size
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, (24, P))]
+    read = hap[:16].copy()
+    q = rng.integers(20, 40, (16, P)).astype(np.uint8)
+    iq = rng.integers(30, 45, (16, P)).astype(np.uint8)
+    dq = rng.integers(30, 45, (16, P)).astype(np.uint8)
+    gcp = np.full((16, P), 10, np.uint8)
+    haplen = np.full(P, 24, np.int32)
+    rslen = np.full(P, 16, np.int32)
+    packed = PackedPairs(hap, read, q, iq, dq, gcp, haplen, rslen, P)
+    with mesh:
+        out = np.asarray(parallel.pairhmm_raw_sharded(mesh, packed))
+    ref = np.asarray(pairhmm_raw(hap, read, q, iq, dq, gcp, haplen, rslen, dtype="float32"))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_pairhmm_variant_aliases():
+    from gkl_tpu.api import PairHMM, PairHMMFpga, PairHMMOMP
+
+    assert issubclass(PairHMMOMP, PairHMM)
+    assert issubclass(PairHMMFpga, PairHMM)
