@@ -73,6 +73,11 @@ class SmithWaterman:
                 u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
                 ctypes.c_char_p, ctypes.c_int, i32p, i32p,
             ]
+            self._native.sw_postprocess_packed.restype = ctypes.c_int
+            self._native.sw_postprocess_packed.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_long, i32p, i32p,
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_int, i32p, i32p,
+            ]
             self._native.sw_align_scalar.restype = ctypes.c_int
             self._native.sw_align_scalar.argtypes = [
                 u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -154,15 +159,16 @@ class SmithWaterman:
                 parameters.gap_open_penalty,
                 parameters.gap_extend_penalty,
                 indel_boundary=strategy in (OverhangStrategy.INDEL, OverhangStrategy.LEADING_INDEL),
+                pack_bt=True,  # halves the O(N*M) device->host transfer
             )
-            bt = np.ascontiguousarray(np.asarray(bt))
+            bt = np.ascontiguousarray(np.asarray(bt))  # (P, N, M//2) packed
             lastrow = np.asarray(lastrow).astype(np.int32, copy=False)
             lastcol = np.ascontiguousarray(np.asarray(lastcol)).astype(np.int32, copy=False)
 
             for c, k in enumerate(idxs):
                 n, m = int(reflen[c]), int(altlen[c])
                 out[k] = self._postprocess(
-                    bt[c], n, m, M, np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
+                    bt[c], n, m, M // 2, np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
                 )
 
         for k in scalar_idx:
@@ -178,20 +184,20 @@ class SmithWaterman:
         return out  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
-    def _postprocess(self, bt_nm, n, m, m_stride, lastrow, lastcol, strategy) -> SWAlignerResult:
+    def _postprocess(self, bt_packed, n, m, stride, lastrow, lastcol, strategy) -> SWAlignerResult:
+        """``bt_packed`` is the lane's (N, stride) 4-bit-packed backtrack."""
         if self._native is not None:
             cap = 2 * max(n, m) + 16
             buf = ctypes.create_string_buffer(cap)
             offset = ctypes.c_int32()
             score = ctypes.c_int32()
-            # bt rows are length m_stride (padded); native walk needs stride m
-            bt_view = bt_nm[:n, :m]
-            if not bt_view.flags["C_CONTIGUOUS"]:
-                bt_view = np.ascontiguousarray(bt_view)
-            self._native.sw_postprocess(
-                bt_view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            if not bt_packed.flags["C_CONTIGUOUS"]:
+                bt_packed = np.ascontiguousarray(bt_packed)
+            self._native.sw_postprocess_packed(
+                bt_packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.c_int(n),
                 ctypes.c_int(m),
+                ctypes.c_long(stride),
                 lastrow[:m].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 lastcol[:n].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.c_int(int(strategy)),
@@ -201,10 +207,14 @@ class SmithWaterman:
                 ctypes.byref(score),
             )
             return SWAlignerResult(buf.value.decode("ascii"), int(offset.value))
-        # Python fallback
+        # Python fallback: unpack nibbles, then walk
+        rows = bt_packed[:n]
+        codes = np.empty((n, 2 * stride), np.uint8)
+        codes[:, 0::2] = rows & 0xF
+        codes[:, 1::2] = rows >> 4
         _, max_i, max_j = sw_ref.select_max(lastrow[:m], lastcol[:n], n, m, int(strategy))
         bt1 = np.zeros((n + 1, m + 1), np.uint8)
-        bt1[1:, 1:] = bt_nm[:n, :m]
+        bt1[1:, 1:] = codes[:, :m]
         cigar, offset = sw_ref.cigar_from_btrack(bt1, n, m, max_i, max_j, int(strategy))
         return SWAlignerResult(cigar, offset)
 

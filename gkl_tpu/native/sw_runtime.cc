@@ -74,10 +74,19 @@ MaxSel select_max(const int32_t* lastrow, const int32_t* lastcol, int n, int m,
 }
 
 // Backtrack walk + run-length encoding + overhang tails.  `bt` is row-major
-// (n, m) with cell (i, j) at bt[(i-1)*m + (j-1)].
-int walk_cigar(const uint8_t* bt, int n, int m, int max_i, int max_j,
-               int strategy, char* cigar_out, int cigar_cap,
-               int32_t* offset_out) {
+// with `stride` BYTES per row.  Unpacked: cell (i, j) at
+// bt[(i-1)*stride + (j-1)].  Packed (`packed` != 0): two 4-bit codes per
+// byte along columns — column j-1 lives in byte (j-1)/2, low nibble for
+// even column index, high nibble for odd.
+int walk_cigar(const uint8_t* bt, int n, int m, long stride, int packed,
+               int max_i, int max_j, int strategy, char* cigar_out,
+               int cigar_cap, int32_t* offset_out) {
+  auto code_at = [&](int i, int j) -> int {
+    const uint8_t* row = bt + (size_t)(i - 1) * (size_t)stride;
+    if (!packed) return row[j - 1];
+    uint8_t b = row[(j - 1) >> 1];
+    return ((j - 1) & 1) ? (b >> 4) : (b & 0xF);
+  };
   std::vector<int32_t> ops;
   ops.reserve(2 * (n + m) + 4);
   auto push = [&](int op, int cnt) {
@@ -101,7 +110,7 @@ int walk_cigar(const uint8_t* bt, int n, int m, int max_i, int max_j,
 
   int state = 0;
   while (i > 0 && j > 0) {
-    int btr = bt[(size_t)(i - 1) * m + (j - 1)];
+    int btr = code_at(i, j);
     if (state == kInsertExt) {
       --j;
       ops.back() += 1;
@@ -207,8 +216,20 @@ int sw_postprocess(const uint8_t* bt, int n, int m, const int32_t* lastrow,
                    int cigar_cap, int32_t* offset_out, int32_t* score_out) {
   MaxSel s = select_max(lastrow, lastcol, n, m, strategy);
   *score_out = s.score;
-  return walk_cigar(bt, n, m, s.max_i, s.max_j, strategy, cigar_out, cigar_cap,
-                    offset_out);
+  return walk_cigar(bt, n, m, m, /*packed=*/0, s.max_i, s.max_j, strategy,
+                    cigar_out, cigar_cap, offset_out);
+}
+
+// Same, for a 4-bit-packed backtrack with `stride` bytes per row (the
+// device's padded column bucket / 2).
+int sw_postprocess_packed(const uint8_t* bt, int n, int m, long stride,
+                          const int32_t* lastrow, const int32_t* lastcol,
+                          int strategy, char* cigar_out, int cigar_cap,
+                          int32_t* offset_out, int32_t* score_out) {
+  MaxSel s = select_max(lastrow, lastcol, n, m, strategy);
+  *score_out = s.score;
+  return walk_cigar(bt, n, m, stride, /*packed=*/1, s.max_i, s.max_j, strategy,
+                    cigar_out, cigar_cap, offset_out);
 }
 
 // Full scalar aligner (host fallback for sequences beyond device buckets).

@@ -38,8 +38,8 @@ def _tropical_combine(left, right):
     return s1 + s2, jnp.maximum(t1 + s2, t2)
 
 
-@functools.partial(jax.jit, static_argnames=("indel_boundary",))
-def sw_forward(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, *, indel_boundary: bool):
+@functools.partial(jax.jit, static_argnames=("indel_boundary", "pack_bt"))
+def sw_forward(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, *, indel_boundary: bool, pack_bt: bool = False):
     """Score DP producing backtrack + boundary score rows.
 
     Args:
@@ -49,14 +49,22 @@ def sw_forward(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, 
       match/mismatch/gap_open/gap_extend: int32 scalars.
       indel_boundary: True for INDEL / LEADING_INDEL overhang strategies
         (boundary rows seeded with open+(k-1)*extend, PairWiseSW.h:212-221).
+      pack_bt: pack two 4-bit backtrack codes per byte along the column
+        axis (halves the O(N*M) device->host transfer, the same packing
+        idea as the reference's 2-cells-per-int16 streaming,
+        PairWiseSW.h:55-60).
 
     Returns:
-      bt:      (P, N, M) uint8 backtrack codes (cell (i, j) at [p, i-1, j-1]).
+      bt:      (P, N, M) uint8 backtrack codes (cell (i, j) at [p, i-1, j-1]),
+               or (P, N, M//2) with codes for columns (2k, 2k+1) in the low /
+               high nibble of byte k when ``pack_bt``.
       lastrow: (M, P) int32 — H(reflen[p], j) per lane.
       lastcol: (N, P) int32 — H(i, altlen[p]) per lane.
     """
     N, P = ref.shape
     M = alt.shape[0]
+    if pack_bt:
+        assert M % 2 == 0, "packed backtrack requires an even column bucket"
     i32 = jnp.int32
     w_match = jnp.asarray(match, i32)
     w_mismatch = jnp.asarray(mismatch, i32)
@@ -120,6 +128,8 @@ def sw_forward(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, 
             | jnp.where(iext, INSERT_EXT, 0)
             | jnp.where(dext, DELETE_EXT, 0)
         ).astype(jnp.uint8)
+        if pack_bt:
+            bt = bt[0::2] | (bt[1::2] << 4)  # column 2k low nibble, 2k+1 high
 
         lastcol_i = jnp.sum(h_new * lastcol_onehot, axis=0).astype(i32)  # (P,)
         lastrow = jnp.where((i == reflen)[None, :], h_new, lastrow)
