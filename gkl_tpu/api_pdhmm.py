@@ -134,6 +134,18 @@ class PDHMM:
         n = len(haps)
         out = np.zeros(n, np.float64)
         lane_multiple = self._lane_multiple or batch_mod.default_lane_multiple()
+
+        # Group lanes by haplotype so PD-event columns align across each
+        # 128-lane block — the Pallas kernel's fast/slow column split then
+        # skips the branch machinery on event-free columns for the whole
+        # block.  Results are written back through the permutation.
+        order = sorted(range(n), key=lambda i: (haps[i].tobytes(), hap_pds[i].tobytes()))
+        haps = [haps[i] for i in order]
+        hap_pds = [hap_pds[i] for i in order]
+        reads = [reads[i] for i in order]
+        quals = [quals[i] for i in order]
+        inv = np.empty(n, np.int64)
+        inv[np.asarray(order)] = np.arange(n)
         # memory-budgeted lane slicing (pdhmm/JavaData.h:83-97): the device
         # working set per lane is ~ 8 carried doubles per read row plus the
         # packed inputs.
@@ -205,7 +217,7 @@ class PDHMM:
             raise RuntimeError(
                 f"PDHMM produced invalid log10 probabilities at indices {np.nonzero(bad)[0][:10]}"
             )
-        return out
+        return out[inv]  # undo the haplotype grouping
 
     # ------------------------------------------------------------------
     def compute_pdhmm(

@@ -18,7 +18,16 @@ instead of being rematerialised in HBM between ``lax.scan`` steps:
 * the within-column insertion recurrence ``I[r] = t_mi*top + t_ii*I[r-1]``
   (with DEL_END max-merges) is the max-affine map composition solved by a
   Hillis-Steele scan over rows — identical math to the
-  ``jax.lax.associative_scan`` in ``ops/pdhmm.py``, log2(R) levels in VMEM.
+  ``jax.lax.associative_scan`` in ``ops/pdhmm.py``, log2(R) levels in VMEM;
+* **fast/slow column split**: a column whose PD bytes are zero and whose
+  jump state is NORMAL for *every* lane in the block (the common case —
+  PD deletion events are sparse) skips the branch-matrix selects entirely
+  and runs a plain affine insertion scan (no max-merges).  Branch matrices
+  are neither read nor written on fast columns; every read of them happens
+  on slow columns, where the last slow-column write is still the correct
+  value (NORMAL lanes recompute from the carried M/I/D, INSIDE lanes hold,
+  AFTER lanes merge).  Per-column flags are precomputed on host and read
+  from SMEM.
 
 Scaling: float32 uses INITIAL_CONDITION = 2^120 (like the reference's float
 PairHMM context) instead of the double kernel's 2^1020; lanes that underflow
@@ -50,8 +59,8 @@ for _c, _b in ((65, 8), (97, 8), (67, 16), (99, 16), (71, 32), (103, 32), (84, 6
 _ST_NORMAL, _ST_INSIDE, _ST_AFTER = 0, 1, 2
 
 
-def _kernel(hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref, tmi_ref,
-            tmd_ref, tim_ref, tdd_ref, pmatch_ref, pmis_ref, ic_ref,
+def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
+            tmi_ref, tmd_ref, tim_ref, tdd_ref, pmatch_ref, pmis_ref, ic_ref,
             haplen_ref, rslen_ref, out_ref,
             m_ref, i_ref, d_ref, bm_ref, bi_ref, bd_ref):
     R, LP = m_ref.shape
@@ -81,6 +90,7 @@ def _kernel(hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref, tmi_ref,
     bm_ref[:] = zero
     bi_ref[:] = zero
     bd_ref[:] = zero
+    out_ref[:] = jnp.zeros((1, LP), f32)
 
     def shift1(v, first):
         # i32 shift operand (i64 is rejected by tpu.dynamic_rotate)
@@ -99,72 +109,102 @@ def _kernel(hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref, tmi_ref,
         a_acc = a_acc * jnp.where(row_iota >= k, pltpu.roll(a_acc, jnp.int32(k), 0), f32(1.0))
         k <<= 1
 
-    def body(j, acc):
-        hap_b = hap_ref[pl.ds(j, 1), :]  # (1, LP) i32
-        pd_b = pd_ref[pl.ds(j, 1), :]
-        st_b = st_ref[pl.ds(j, 1), :]
-        st_n = st_b == _ST_NORMAL
-        st_i = st_b == _ST_INSIDE
-        st_a = st_b == _ST_AFTER
-        del_end = (pd_b & DEL_END) != 0
+    block = pl.program_id(0)
 
-        # prior for this column, all rows (pdhmm-serial.cc:254-277)
-        pd_match = ((pd_b & SNP) != 0) & ((pd_b & rbit) != 0)
-        match = (read_i == hap_b) | read_is_n | (hap_b == _N_CODE) | pd_match
-        prior = jnp.where(match, p_match, p_mis)
+    def body(j, carry):
+        hap_b = hap_ref[pl.ds(j, 1), :]  # (1, LP) i32
+        flag = flags_ref[block, j]
+
+        # base prior: sequence match / N wildcards (common to both paths)
+        match_basic = (read_i == hap_b) | read_is_n | (hap_b == _N_CODE)
 
         m_l = m_ref[:]
         i_l = i_ref[:]
         d_l = d_ref[:]
-        bm_l = bm_ref[:]
-        bi_l = bi_ref[:]
-        bd_l = bd_ref[:]
 
-        # branch matrices for this column (pdhmm-serial.cc:331-368)
-        bm = jnp.where(st_n, m_l, jnp.where(st_i, bm_l, jnp.maximum(bm_l, m_l)))
-        bi = jnp.where(st_n, i_l, jnp.where(st_i, bi_l, jnp.maximum(bi_l, i_l)))
-        bd = jnp.where(st_n, d_l, jnp.where(st_i, bd_l, jnp.maximum(bd_l, d_l)))
+        @pl.when(flag == 0)
+        def _fast():
+            # every lane NORMAL, no PD bytes: plain PDHMM column, branch
+            # matrices untouched (not read again until the next slow column
+            # rewrites them)
+            prior = jnp.where(match_basic, p_match, p_mis)
+            m_dg = shift1(m_l, zrow)
+            i_dg = shift1(i_l, zrow)
+            d_dg = shift1(d_l, ic)
+            m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
+            d = m_l * t_md + d_l * t_dd
+            # affine insertion scan (no max-merges): b[r] += a^(2^k) b[r-2^k]
+            b = t_mi * shift1(m, zrow)
+            for k, a_k in a_levels:
+                b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                b = a_k * b_sh + b
+            m_ref[:] = m
+            i_ref[:] = b
+            d_ref[:] = d
 
-        # AFTER_DEL max-merged left values; the state is row-invariant, so the
-        # merge commutes with the diagonal row shift.
-        m_left_e = jnp.where(st_a, jnp.maximum(m_l, bm_l), m_l)
-        i_left_e = jnp.where(st_a, jnp.maximum(i_l, bi_l), i_l)
-        d_left_e = jnp.where(st_a, jnp.maximum(d_l, bd_l), d_l)
+        @pl.when(flag != 0)
+        def _slow():
+            pd_b = pd_ref[pl.ds(j, 1), :]
+            st_b = st_ref[pl.ds(j, 1), :]
+            st_n = st_b == _ST_NORMAL
+            st_i = st_b == _ST_INSIDE
+            st_a = st_b == _ST_AFTER
+            del_end = (pd_b & DEL_END) != 0
 
-        m_dg = shift1(m_left_e, zrow)
-        i_dg = shift1(i_left_e, zrow)
-        d_dg = shift1(d_left_e, ic)  # row 0 of D is ic at every column
+            # prior with PD SNP-match bits (pdhmm-serial.cc:254-277)
+            pd_match = ((pd_b & SNP) != 0) & ((pd_b & rbit) != 0)
+            prior = jnp.where(match_basic | pd_match, p_match, p_mis)
 
-        m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
-        d = m_left_e * t_md + d_left_e * t_dd
+            bm_l = bm_ref[:]
+            bi_l = bi_ref[:]
+            bd_l = bd_ref[:]
 
-        # insertion: I[r] = t_mi[r]*top_m + t_ii[r]*(del_end ? max(BI[r-1],
-        # I[r-1]) : I[r-1]) composed as max-affine maps x -> max(c, a*x + b)
-        # (identity (0, 1, 0) is valid on the nonnegative domain).
-        m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
-        b = t_mi * shift1(m_eff, zrow)
-        c = jnp.where(del_end, b + t_dd * shift1(bi, zrow), zero)
-        for k, a_k in a_levels:
-            ks = jnp.int32(k)
-            in_range = row_iota >= k
-            c_sh = jnp.where(in_range, pltpu.roll(c, ks, 0), f32(0.0))
-            b_sh = jnp.where(in_range, pltpu.roll(b, ks, 0), f32(0.0))
-            c = jnp.maximum(c, a_k * c_sh + b)
-            b = a_k * b_sh + b
-        ins = jnp.maximum(c, b)  # applied to I[0] = 0
+            # branch matrices for this column (pdhmm-serial.cc:331-368)
+            bm = jnp.where(st_n, m_l, jnp.where(st_i, bm_l, jnp.maximum(bm_l, m_l)))
+            bi = jnp.where(st_n, i_l, jnp.where(st_i, bi_l, jnp.maximum(bi_l, i_l)))
+            bd = jnp.where(st_n, d_l, jnp.where(st_i, bd_l, jnp.maximum(bd_l, d_l)))
 
-        m_ref[:] = m
-        i_ref[:] = ins
-        d_ref[:] = d
-        bm_ref[:] = bm
-        bi_ref[:] = bi
-        bd_ref[:] = bd
+            # AFTER_DEL max-merged left values; the state is row-invariant,
+            # so the merge commutes with the diagonal row shift.
+            m_left_e = jnp.where(st_a, jnp.maximum(m_l, bm_l), m_l)
+            i_left_e = jnp.where(st_a, jnp.maximum(i_l, bi_l), i_l)
+            d_left_e = jnp.where(st_a, jnp.maximum(d_l, bd_l), d_l)
+
+            m_dg = shift1(m_left_e, zrow)
+            i_dg = shift1(i_left_e, zrow)
+            d_dg = shift1(d_left_e, ic)  # row 0 of D is ic at every column
+
+            m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
+            d = m_left_e * t_md + d_left_e * t_dd
+
+            # insertion: I[r] = t_mi[r]*top_m + t_ii[r]*(del_end ?
+            # max(BI[r-1], I[r-1]) : I[r-1]) composed as max-affine maps
+            # x -> max(c, a*x + b) (identity (0, 1, 0) valid on the
+            # nonnegative domain).
+            m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
+            b = t_mi * shift1(m_eff, zrow)
+            c = jnp.where(del_end, b + t_dd * shift1(bi, zrow), zero)
+            for k, a_k in a_levels:
+                in_range = row_iota >= k
+                c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
+                b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                c = jnp.maximum(c, a_k * c_sh + b)
+                b = a_k * b_sh + b
+            ins = jnp.maximum(c, b)  # applied to I[0] = 0
+
+            m_ref[:] = m
+            i_ref[:] = ins
+            d_ref[:] = d
+            bm_ref[:] = bm
+            bi_ref[:] = bi
+            bd_ref[:] = bd
 
         valid = jnp.where((j + 1) <= haplen, f32(1.0), f32(0.0))  # (1, LP)
-        col_sum = jnp.sum((m + ins) * last_row, axis=0, keepdims=True)
-        return acc + col_sum * valid
+        col_sum = jnp.sum((m_ref[:] + i_ref[:]) * last_row, axis=0, keepdims=True)
+        out_ref[:] += col_sum * valid
+        return carry
 
-    out_ref[:] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, zrow)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
@@ -216,12 +256,21 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     haplen2 = haplen.astype(jnp.int32)[None, :]
     rslen2 = rslen.astype(jnp.int32)[None, :]
 
-    grid = (P // lane_block,)
+    # per-(block, column) slow flag: any PD byte or non-NORMAL state in the
+    # block's lanes (AFTER_DEL merge columns have pd == 0, hence the state
+    # term); delivered via scalar prefetch (SMEM)
+    nblocks = P // lane_block
+    eventful = (pd_i != 0) | (st_i != 0)  # (H, P) bool
+    flags = (
+        eventful.reshape(H, nblocks, lane_block).any(axis=2).astype(jnp.int32).T
+    )  # (nblocks, H)
+
+    grid = (nblocks,)
 
     def lane_spec(length):
         return pl.BlockSpec(
             (length, lane_block),
-            lambda i: (jnp.int32(0), i),
+            lambda i, flags: (jnp.int32(0), i),
             memory_space=pltpu.VMEM,
         )
 
@@ -243,19 +292,23 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
         lane_spec(1),  # rslen
     ]
 
-    out = pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=lane_spec(1),
-        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
         scratch_shapes=[pltpu.VMEM((R, lane_block), jnp.float32)] * 6,
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=int(80 * H * R) * P,
+            flops=int(60 * H * R) * P,
             bytes_accessed=int((3 * H + 9 * R) * 4) * P,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
+    )(flags, hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
       p_match, p_mis, ic, haplen2, rslen2)
     return out[0]
