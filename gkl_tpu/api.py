@@ -152,6 +152,21 @@ class PairHMM:
         likelihoods: np.ndarray | None = None,
     ) -> np.ndarray:
         """Cross-product likelihoods, read-major (JavaData.h:84-106)."""
+        if reads is None or haplotypes is None:
+            raise TypeError("readDataArray/haplotypeDataArray is null")
+        if len(reads) == 0 or len(haplotypes) == 0:
+            raise ValueError("readDataArray/haplotypeDataArray is empty")
+        for rd in reads:
+            if rd.read_bases is None or len(rd.read_bases) == 0:
+                raise ValueError("read bases are null or empty")
+            if not (
+                len(rd.read_bases) == len(rd.read_quals) == len(rd.insertion_gop)
+                == len(rd.deletion_gop) == len(rd.overall_gcp)
+            ):
+                raise ValueError("read arrays must all have the read's length")
+        for hp in haplotypes:
+            if hp.haplotype_bases is None or len(hp.haplotype_bases) == 0:
+                raise ValueError("haplotype bases are null or empty")
         pairs_read = []
         pairs_hap = []
         quals = []

@@ -102,3 +102,42 @@ def test_repeated_stability():
     first = run()
     for _ in range(repeat - 1):
         np.testing.assert_array_equal(run(), first)
+
+
+def test_pairhmm_null_and_empty_inputs():
+    """Null/empty exception matrix (PairHmmUnitTest.java:30-53)."""
+    from gkl_tpu.api import HaplotypeData, PairHMM, ReadData
+
+    hmm = PairHMM()
+    q = np.full(4, 30, np.uint8)
+    rd = ReadData(b"ACGT", q, q, q, q)
+    hp = HaplotypeData(b"ACGT")
+    with pytest.raises(TypeError):
+        hmm.compute_likelihoods(None, [hp])
+    with pytest.raises(TypeError):
+        hmm.compute_likelihoods([rd], None)
+    with pytest.raises(ValueError):
+        hmm.compute_likelihoods([], [hp])
+    with pytest.raises(ValueError):
+        hmm.compute_likelihoods([rd], [])
+    with pytest.raises(ValueError):
+        hmm.compute_likelihoods([ReadData(b"", q[:0], q[:0], q[:0], q[:0])], [hp])
+    with pytest.raises(ValueError):
+        hmm.compute_likelihoods([ReadData(b"ACGT", q[:2], q, q, q)], [hp])
+
+
+def test_debug_module():
+    from gkl_tpu import batch as batch_mod
+    from gkl_tpu import debug
+
+    packed = batch_mod.pack_pairs(
+        [np.frombuffer(b"ACGT", np.uint8)], [np.frombuffer(b"AC", np.uint8)],
+        [(np.full(2, 30, np.uint8),) * 4], lane_multiple=8)
+    debug.check_batch(packed)  # valid batch passes
+    import jax.numpy as jnp
+
+    with debug.debug_context():
+        with pytest.raises(FloatingPointError):
+            import jax
+
+            jax.jit(lambda x: jnp.log(x) * 0 + jnp.sqrt(x - 2))(jnp.float32(1.0)).block_until_ready()
