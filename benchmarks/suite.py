@@ -31,18 +31,25 @@ def _emit(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": value, "unit": unit, **extra}), flush=True)
 
 
-def _device_loop_time(fn_loop, args, iters):
+def _device_loop_time(fn_loop, args, iters, x64=False):
     """Min wall time of jitted fori-loop at two iteration counts, differenced
-    to cancel dispatch/fetch overhead (see bench.py methodology)."""
-    t = {}
-    for n in (2, 2 + iters):
-        np.asarray(fn_loop(*args, n=n))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+    to cancel dispatch/fetch overhead (see bench.py methodology).  f32 fast
+    paths trace with x64 off, matching the public APIs."""
+    import contextlib
+
+    import jax
+
+    scope = contextlib.nullcontext() if x64 else jax.enable_x64(False)
+    with scope:
+        t = {}
+        for n in (2, 2 + iters):
             np.asarray(fn_loop(*args, n=n))
-            ts.append(time.perf_counter() - t0)
-        t[n] = min(ts)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn_loop(*args, n=n))
+                ts.append(time.perf_counter() - t0)
+            t[n] = min(ts)
     return (t[2 + iters] - t[2]) / iters
 
 
@@ -149,7 +156,8 @@ def bench_sw(on_tpu, quick):
 
         return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.float32(0))
 
-    per = _device_loop_time(loop, args, iters)
+    # SW's public path traces under the library's global x64 config
+    per = _device_loop_time(loop, args, iters, x64=True)
     _emit("sw_dp_cells_per_sec", N * M * P / per, "cells/s", shape=[N, M, P])
 
 

@@ -119,7 +119,6 @@ class PairHMM:
         if dtype == "float32" and self._use_pallas(packed.hap.shape[0]):
             from .ops import pairhmm_pallas
 
-            lane_block = 128
             raw = pairhmm_pallas.pairhmm_raw_pallas(
                 packed.hap,
                 packed.read,
@@ -129,7 +128,7 @@ class PairHMM:
                 packed.gcp,
                 packed.haplen,
                 packed.rslen,
-                lane_block=lane_block,
+                lane_block=128,
             )
             return np.asarray(raw)[: packed.n_real]
         raw = pairhmm_ops.pairhmm_raw(

@@ -288,23 +288,26 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
         lane_spec(1),  # haplen
     ]
 
-    out = pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=lane_spec(1),
-        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((H, lane_block), jnp.float32),
-            pltpu.VMEM((H, lane_block), jnp.float32),
-            pltpu.VMEM((H, lane_block), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(50 * H * R) * P,
-            bytes_accessed=int((H + 10 * R) * 4) * P,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(hap_i, read_i, dmatch, dmis, p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
-      inity, rslen2, haplen2)
+    # x64 trace mode costs extra inside the Mosaic kernel (i64 scalar
+    # plumbing); the kernel is all-i32/f32, so trace it with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=lane_spec(1),
+            out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((H, lane_block), jnp.float32),
+                pltpu.VMEM((H, lane_block), jnp.float32),
+                pltpu.VMEM((H, lane_block), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(50 * H * R) * P,
+                bytes_accessed=int((H + 10 * R) * 4) * P,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(hap_i, read_i, dmatch, dmis, p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
+          inity, rslen2, haplen2)
     return out[0]

@@ -52,11 +52,60 @@ LANE_BLOCK = 128
 
 # read byte -> PD SNP-match bit {A:8, C:16, G:32, T:64}, case-folded; bases
 # outside ACGT get 0 so the (pd & bit) test is false (pdhmm/MathUtils.h:66-76).
-_READ_BIT = np.zeros(256, np.int32)
-for _c, _b in ((65, 8), (97, 8), (67, 16), (99, 16), (71, 32), (103, 32), (84, 64), (116, 64)):
-    _READ_BIT[_c] = _b
+_READ_BIT_PAIRS = ((65, 8), (97, 8), (67, 16), (99, 16), (71, 32), (103, 32), (84, 64), (116, 64))
 
 _ST_NORMAL, _ST_INSIDE, _ST_AFTER = 0, 1, 2
+
+_LOG2_10 = float(np.log2(10.0))
+_INV_LN10 = 1.0 / float(np.log(10.0))  # exact constant (pdhmm/MathUtils.cc:38-39)
+
+
+def _onehot_gather_256(table, idx):
+    """Exact 255-entry table lookup as a one-hot MXU contraction.
+
+    TPU vector gathers route through the scalar core (~6 ns/element — they
+    dominated this kernel's wall clock before this change); a one-hot f32
+    matmul at HIGHEST precision reproduces table values bit-exactly.
+    """
+    K = table.shape[0]
+    oh = (idx.reshape(-1, 1) == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    v = jax.lax.dot_general(
+        oh,
+        table.reshape(K, 1),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return v.reshape(idx.shape)
+
+
+def _match_to_match_arith(im, dm):
+    """matchToMatchProb (pdhmm-common.h:175-184) evaluated closed-form.
+
+    The Jacobian-table quantization is exact here (``diff*1e4`` always lands
+    on the integer ``1000*|i-d|``).  Evaluated in f64 when x64 is enabled
+    (matches the f64-built context table to ~1 ulp; this is O(R*P) prep, so
+    emulated f64 on TPU is cheap) and f32 otherwise.  Uses PDHMM's exact
+    1/ln(10) (unlike PairHMM's truncated constant).
+    """
+    import jax as _jax
+
+    f = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
+    mx = jnp.maximum(im, dm).astype(f)
+    mn = jnp.minimum(im, dm).astype(f)
+    small = f(-0.1) * mx
+    big = f(-0.1) * mn
+    diff = big - small
+    ind = jnp.round(diff * f(10000.0))
+    jac = jnp.where(
+        diff >= f(8.0),
+        f(0.0),
+        jnp.log1p(jnp.exp2(-(ind * f(1e-4)) * f(_LOG2_10))) * f(_INV_LN10),
+    )
+    ls = big + jac
+    p = jnp.minimum(f(1.0), jnp.exp2(ls * f(_LOG2_10)))
+    m2m_log10 = jnp.log1p(-p) * f(_INV_LN10)
+    return jnp.exp2(m2m_log10 * f(_LOG2_10)).astype(jnp.float32)
 
 
 def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
@@ -223,7 +272,6 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     assert P % lane_block == 0, (P, lane_block)
 
     q2e = jnp.asarray(ctx.qual_to_error_prob, f)
-    m2m = jnp.asarray(ctx.match_to_match, f)
 
     def qidx(x):
         return jnp.minimum(x.astype(jnp.int32), ctx_mod.MAX_QUAL)
@@ -233,22 +281,26 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     cm = qidx(gcp)
     qm = qidx(q)
 
-    # per-row transitions (pdhmm-serial.cc:181-226), gathered once on host of
-    # the kernel — O(R*P) vs the kernel's O(H*R*P)
-    max_q = jnp.maximum(im, dm)
-    min_q = jnp.minimum(im, dm)
-    t_mm = m2m[((max_q * (max_q + 1)) >> 1) + min_q]
-    t_mi = q2e[im]
-    t_md = q2e[dm]
-    t_im = f(1.0) - q2e[cm]
-    t_dd = q2e[cm]
+    # per-row transitions (pdhmm-serial.cc:181-226), computed once outside
+    # the kernel.  Table lookups use one-hot MXU contractions (exact) and
+    # the match-to-match transition the closed form (f32-rounding-exact) —
+    # XLA vector gathers would cost more than the whole DP kernel.
+    t_mm = _match_to_match_arith(im, dm)
+    t_mi = _onehot_gather_256(q2e, im)
+    t_md = _onehot_gather_256(q2e, dm)
+    q2e_cm = _onehot_gather_256(q2e, cm)
+    t_im = f(1.0) - q2e_cm
+    t_dd = q2e_cm
 
-    err = q2e[qm]
+    err = _onehot_gather_256(q2e, qm)
     p_match = f(1.0) - err
     p_mis = err / f(3.0)
 
     read_i = read.astype(jnp.int32)
-    rbit = jnp.asarray(_READ_BIT)[read_i]
+    # PD SNP-match bit per read base, via comparisons (no table gather)
+    rbit = jnp.zeros_like(read_i)
+    for _c, _b in _READ_BIT_PAIRS:
+        rbit = jnp.where(read_i == _c, _b, rbit)
     ic = (jnp.asarray(ctx.INITIAL_CONDITION, f) / haplen.astype(f))[None, :]
     hap_i = hap.astype(jnp.int32)
     pd_i = hap_pd.astype(jnp.int32)
@@ -299,16 +351,19 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
         out_specs=lane_spec(1),
         scratch_shapes=[pltpu.VMEM((R, lane_block), jnp.float32)] * 6,
     )
-    out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=int(60 * H * R) * P,
-            bytes_accessed=int((3 * H + 9 * R) * 4) * P,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(flags, hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
-      p_match, p_mis, ic, haplen2, rslen2)
+    # x64 trace mode costs ~2.5x inside the Mosaic kernel (i64 scalar
+    # plumbing); the kernel is all-i32/f32, so trace it with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=int(60 * H * R) * P,
+                bytes_accessed=int((3 * H + 9 * R) * 4) * P,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(flags, hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
+          p_match, p_mis, ic, haplen2, rslen2)
     return out[0]

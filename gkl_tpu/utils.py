@@ -64,6 +64,18 @@ def f64_scope():
     return jax.default_device(cpus[0])
 
 
+def x32_scope():
+    """Trace-scope with x64 disabled.
+
+    The library enables x64 globally for the f64 rescue paths, but x64 mode
+    costs ~2.5x inside Pallas TPU kernels (i64 scalar plumbing); the f32
+    fast paths trace under this scope.
+    """
+    import jax
+
+    return jax.enable_x64(False)
+
+
 def get_flush_to_zero() -> bool:
     """TPU VPU flushes f32 subnormals (the reference sets FTZ explicitly,
     IntelPairHmm.cc:93-96); reported for observability parity."""
