@@ -90,3 +90,20 @@ def set_flush_to_zero(value: bool) -> bool:
 def available_parallelism() -> int:
     """Device-level parallelism (the OpenMP thread-count analogue)."""
     return jax.device_count()
+
+
+def path_to_test_resource(filename: str, base_dir: str | None = None) -> str:
+    """Resolve a test-resource path with filename sanitization.
+
+    Mirrors ``IntelGKLUtils.pathToTestResource`` (IntelGKLUtils.java:64-79):
+    the filename must be a plain name (letters, digits, ``.-_``), rejecting
+    path separators / traversal.
+    """
+    import os
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", filename):
+        raise ValueError(f"unsafe test resource name: {filename!r}")
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tests", "data")
+    return os.path.join(base_dir, filename)

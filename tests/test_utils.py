@@ -141,3 +141,11 @@ def test_debug_module():
             import jax
 
             jax.jit(lambda x: jnp.log(x) * 0 + jnp.sqrt(x - 2))(jnp.float32(1.0)).block_until_ready()
+
+
+def test_path_to_test_resource():
+    p = utils.path_to_test_resource("pairhmm-testdata.txt")
+    assert os.path.exists(p)
+    for bad in ("../etc/passwd", "a/b.txt", ".hidden", "x;y"):
+        with pytest.raises(ValueError):
+            utils.path_to_test_resource(bad)
