@@ -115,22 +115,47 @@ class PairHMM:
                 return self._raw_batch_impl(packed, dtype)
         return self._raw_batch_impl(packed, dtype)
 
-    def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
-        if dtype == "float32" and self._use_pallas(packed.hap.shape[0]):
-            from .ops import pairhmm_pallas
+    @classmethod
+    def _cols_kernel_fits(cls, H: int, R: int) -> bool:
+        """Column-sweep VMEM budget: hap bytes + (R, 128) input/state tiles."""
+        return H <= 8192 and (H + 16 * R) <= 20000
 
-            raw = pairhmm_pallas.pairhmm_raw_pallas(
-                packed.hap,
-                packed.read,
-                packed.q,
-                packed.iq,
-                packed.dq,
-                packed.gcp,
-                packed.haplen,
-                packed.rslen,
-                lane_block=128,
-            )
-            return np.asarray(raw)[: packed.n_real]
+    def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
+        H, R = packed.hap.shape[0], packed.read.shape[0]
+        if dtype == "float32" and self._use_pallas(0):
+            if H <= self.PALLAS_MAX_HAP:
+                from .ops import pairhmm_pallas
+
+                raw = pairhmm_pallas.pairhmm_raw_pallas(
+                    packed.hap,
+                    packed.read,
+                    packed.q,
+                    packed.iq,
+                    packed.dq,
+                    packed.gcp,
+                    packed.haplen,
+                    packed.rslen,
+                    lane_block=128,
+                )
+                return np.asarray(raw)[: packed.n_real]
+            if self._cols_kernel_fits(H, R):
+                # long-haplotype path: (R, 128) state, haplotype streamed —
+                # faster per cell than the row sweep at these shapes (~90
+                # Gcells/s at H=4096 on v5e)
+                from .ops import pairhmm_pallas_cols
+
+                raw = pairhmm_pallas_cols.pairhmm_raw_pallas_cols(
+                    packed.hap,
+                    packed.read,
+                    packed.q,
+                    packed.iq,
+                    packed.dq,
+                    packed.gcp,
+                    packed.haplen,
+                    packed.rslen,
+                    lane_block=128,
+                )
+                return np.asarray(raw)[: packed.n_real]
         raw = pairhmm_ops.pairhmm_raw(
             packed.hap,
             packed.read,

@@ -1,0 +1,196 @@
+"""PairHMM forward kernel, column-sweep variant: (R, LANE_BLOCK) state.
+
+The row-sweep kernel (``pairhmm_pallas.py``) carries (H, LANE_BLOCK) state
+tiles, capping the haplotype bucket at VMEM scratch (~2048).  This variant
+transposes the sweep: the DP state is three (R, LANE_BLOCK) tiles (reads
+are short and bounded), and the *haplotype* axis is streamed column by
+column, so long haplotypes cost VMEM only for their base bytes.
+
+Recurrence mapping under a column sweep (reference formulas,
+``avx-pairhmm-template.h:208-223``):
+
+* M(r,c) needs the (r-1, c-1) diagonal — two sublane rolls of the previous
+  column's state;
+* Y(r,c) = pMY*M(r,c-1) + pYY*Y(r,c-1) — previous column, elementwise;
+* X(r,c) = pMX*M(r-1,c) + pXX*X(r-1,c) — *within-column* affine recurrence
+  over rows, solved by the same hoisted-coefficient Hillis-Steele scan as
+  the PDHMM insertion (pXX is column-invariant, so per-level coefficient
+  products are precomputed once).
+
+Numerics are the same formulas as the row-sweep kernel (f32, golden 1e-5
+contract holds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pairhmm_pallas as rows_mod
+
+_N_CODE = 78
+LANE_BLOCK = 128
+
+
+def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
+            pmx_ref, pxx_ref, pmy_ref, pyy_ref, inity_ref, rslen_ref,
+            haplen_ref, out_ref, m_ref, x_ref, y_ref):
+    R, LP = m_ref.shape
+    H = hap_ref.shape[0]
+    f32 = jnp.float32
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LP), 0)
+    read_i = read_ref[:]
+    read_is_n = read_i == _N_CODE
+    dmatch = dmatch_ref[:]
+    dmis = dmis_ref[:]
+    pmm = pmm_ref[:]
+    pgapm = pgapm_ref[:]
+    pmx = pmx_ref[:]
+    pxx = pxx_ref[:]
+    pmy = pmy_ref[:]
+    pyy = pyy_ref[:]
+    inity = inity_ref[:]  # (1, LP)
+    haplen = haplen_ref[:]
+    last_row = jnp.where((row_iota + 1) == rslen_ref[:], f32(1.0), f32(0.0))
+
+    zero = jnp.zeros((R, LP), f32)
+    m_ref[:] = zero
+    x_ref[:] = zero
+    y_ref[:] = zero
+    out_ref[:] = jnp.zeros((1, LP), f32)
+
+    def shift1(v, first):
+        return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    zrow = jnp.zeros((1, LP), f32)
+
+    # X-scan coefficient products (pXX is column-invariant): a_levels[l] is
+    # the product of pXX over the 2^l-row span, wrap-masked.
+    a_levels = []
+    a_acc = pxx
+    k = 1
+    while k < R:
+        a_levels.append((k, a_acc))
+        a_acc = a_acc * jnp.where(row_iota >= k, pltpu.roll(a_acc, jnp.int32(k), 0), f32(1.0))
+        k <<= 1
+
+    def body(j, carry):
+        hap_b = hap_ref[pl.ds(j, 1), :]  # (1, LP)
+        match = (read_i == hap_b) | read_is_n | (hap_b == _N_CODE)
+        prior = jnp.where(match, dmatch, dmis)
+
+        m_l = m_ref[:]
+        x_l = x_ref[:]
+        y_l = y_ref[:]
+
+        # diagonal (r-1, c-1): previous column shifted one row down.
+        # Row-0 boundary of the previous column: M = X = 0, Y = inity.
+        m_dg = shift1(m_l, zrow)
+        xy_dg = shift1(x_l + y_l, inity)
+        m = prior * (pmm * m_dg + pgapm * xy_dg)
+
+        # Y: previous column, same row (boundary row 0 handled by the carried
+        # state: y_l row 0 holds Y(0, c-1)... state rows are 1..R, and row 0
+        # of the DP (the boundary) never enters Y's recurrence for rows >= 1.
+        y = pmy * m_l + pyy * y_l
+
+        # X: within-column affine scan over rows, X(0, c) = 0.
+        b = pmx * shift1(m, zrow)
+        for k, a_k in a_levels:
+            b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+            b = a_k * b_sh + b
+
+        m_ref[:] = m
+        x_ref[:] = b
+        y_ref[:] = y
+
+        valid = jnp.where((j + 1) <= haplen, f32(1.0), f32(0.0))
+        out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
+def pairhmm_raw_pallas_cols(hap, read, q, iq, dq, gcp, haplen, rslen,
+                            *, lane_block: int = LANE_BLOCK, interpret: bool = False):
+    """float32 PairHMM forward, column-sweep (long-haplotype fast path).
+
+    Same contract as ``pairhmm_raw_pallas``; state scales with the *read*
+    bucket instead of the haplotype bucket.
+    """
+    ctx = __import__("gkl_tpu.context", fromlist=["pairhmm_context"]).pairhmm_context("float32")
+    f = jnp.float32
+    H, P = hap.shape
+    R = read.shape[0]
+    assert P % lane_block == 0, (P, lane_block)
+
+    qm = (q & 127).astype(jnp.int32)
+    im = (iq & 127).astype(jnp.int32)
+    dm = (dq & 127).astype(jnp.int32)
+    cm = (gcp & 127).astype(jnp.int32)
+
+    table = jnp.asarray(ctx.ph2pr, f)
+    p_mm = rows_mod._m2m_mxu(im, dm)
+    ph2pr_c = rows_mod._onehot_gather(table, cm)
+    p_mx = rows_mod._onehot_gather(table, im)
+    p_my = rows_mod._onehot_gather(table, dm)
+    distm = rows_mod._onehot_gather(table, qm)
+    p_gapm = f(1.0) - ph2pr_c
+    p_xx = ph2pr_c
+    p_yy = ph2pr_c
+    dmatch = f(1.0) - distm
+    dmis = distm / f(3.0)
+    inity = (jnp.asarray(ctx.INITIAL_CONSTANT, f) / haplen.astype(f))[None, :]
+    hap_i = hap.astype(jnp.int32)
+    read_i = read.astype(jnp.int32)
+    rslen2 = rslen.astype(jnp.int32)[None, :]
+    haplen2 = haplen.astype(jnp.int32)[None, :]
+
+    grid = (P // lane_block,)
+
+    def lane_spec(length):
+        return pl.BlockSpec(
+            (length, lane_block),
+            lambda i: (jnp.int32(0), i),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        lane_spec(H),  # hap
+        lane_spec(R),  # read
+        lane_spec(R),  # dmatch
+        lane_spec(R),  # dmis
+        lane_spec(R),  # pmm
+        lane_spec(R),  # pgapm
+        lane_spec(R),  # pmx
+        lane_spec(R),  # pxx
+        lane_spec(R),  # pmy
+        lane_spec(R),  # pyy
+        lane_spec(1),  # inity
+        lane_spec(1),  # rslen
+        lane_spec(1),  # haplen
+    ]
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=lane_spec(1),
+            out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((R, lane_block), jnp.float32)] * 3,
+            cost_estimate=pl.CostEstimate(
+                flops=int(40 * H * R) * P,
+                bytes_accessed=int((H + 10 * R) * 4) * P,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(hap_i, read_i, dmatch, dmis, p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
+          inity, rslen2, haplen2)
+    return out[0]

@@ -49,3 +49,37 @@ def test_m2m_2d_table():
     want = ctx.set_mm_prob(i, d)
     got = tab[np.maximum(i, d), np.minimum(i, d)]
     np.testing.assert_array_equal(got, want)
+
+
+def test_cols_variant_matches_jnp():
+    from gkl_tpu.ops.pairhmm_pallas_cols import pairhmm_raw_pallas_cols
+
+    args = _batch(seed=5)
+    a = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    b = np.asarray(pairhmm_raw_pallas_cols(*args, lane_block=8, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=2e-5)
+
+
+def test_cols_variant_golden():
+    import golden
+    from gkl_tpu import batch as batch_mod
+    from gkl_tpu import context as C
+    from gkl_tpu.ops.pairhmm_pallas_cols import pairhmm_raw_pallas_cols
+
+    cases = golden.load_pairhmm_cases()[:24]
+    packed = batch_mod.pack_pairs(
+        [c.hap for c in cases], [c.read for c in cases],
+        [(c.q, c.iq, c.dq, c.gcp) for c in cases], lane_multiple=8)
+    raw = np.asarray(
+        pairhmm_raw_pallas_cols(
+            packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+            packed.gcp, packed.haplen, packed.rslen,
+            lane_block=8, interpret=True)
+    )[: packed.n_real]
+    ctx = C.pairhmm_context("float32")
+    res = np.log10(raw.astype(np.float64)) - float(ctx.LOG10_INITIAL_CONSTANT)
+    expected = np.array([c.expected for c in cases])
+    # golden 1e-5 contract (cases that need the double rescue excluded)
+    ok = raw > float(C.MIN_ACCEPTED)
+    assert ok.sum() >= 20
+    np.testing.assert_allclose(res[ok], expected[ok], atol=1e-5)
