@@ -145,13 +145,22 @@ def bench_sw(on_tpu, quick):
     altlen = np.full(P, M, np.int32)
     args = [jax.device_put(a) for a in (ref, alt, reflen, altlen)]
 
+    if on_tpu:
+        from gkl_tpu.ops.sw_pallas import sw_forward_pallas
+
+        def fwd(ref, alt, reflen, altlen):
+            return sw_forward_pallas(ref, alt, reflen, altlen, 200, -150, -260,
+                                     -11, indel_boundary=False)
+    else:
+        def fwd(ref, alt, reflen, altlen):
+            return sw_ops.sw_forward(ref, alt, reflen, altlen, 200, -150, -260,
+                                     -11, indel_boundary=False, pack_bt=True)
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(ref, alt, reflen, altlen, n):
         def body(i, acc):
-            bt, lr, lc = sw_ops.sw_forward(
-                ref, alt, reflen, altlen + (i % 2).astype(jnp.int32),
-                200, -150, -260, -11, indel_boundary=False,
-            )
+            # perturb a DP input (alt bases) so nothing hoists out of the loop
+            bt, lr, lc = fwd(ref, alt + (i % 2).astype(jnp.uint8), reflen, altlen)
             return acc + jnp.sum(bt.astype(jnp.float32)) + jnp.sum(lr).astype(jnp.float32)
 
         return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.float32(0))

@@ -88,6 +88,21 @@ class SmithWaterman:
     def close(self) -> None:
         pass
 
+    @staticmethod
+    def _use_pallas(N: int, M: int, P: int) -> bool:
+        import os
+
+        from . import utils
+        from .ops import sw_pallas
+
+        return (
+            utils.is_tpu_available()
+            and os.environ.get("GKL_TPU_PALLAS") != "0"
+            and P % 128 == 0
+            and M % 2 == 0
+            and sw_pallas.sw_pallas_fits(N, M)
+        )
+
     # ------------------------------------------------------------------
     def align(self, ref, alt, parameters: SWParameters, strategy) -> SWAlignerResult:
         return self.align_batch([ref], [alt], parameters, strategy)[0]
@@ -149,18 +164,31 @@ class SmithWaterman:
                 reflen[c] = len(refs[k])
                 altlen[c] = len(alts[k])
 
-            bt, lastrow, lastcol = sw_ops.sw_forward(
-                ref_a,
-                alt_a,
-                reflen,
-                altlen,
-                parameters.match_value,
-                parameters.mismatch_penalty,
-                parameters.gap_open_penalty,
-                parameters.gap_extend_penalty,
-                indel_boundary=strategy in (OverhangStrategy.INDEL, OverhangStrategy.LEADING_INDEL),
-                pack_bt=True,  # halves the O(N*M) device->host transfer
-            )
+            indel_boundary = strategy in (OverhangStrategy.INDEL, OverhangStrategy.LEADING_INDEL)
+            if self._use_pallas(N, M, P):
+                from .ops import sw_pallas
+
+                bt, lastrow, lastcol = sw_pallas.sw_forward_pallas(
+                    ref_a, alt_a, reflen, altlen,
+                    parameters.match_value,
+                    parameters.mismatch_penalty,
+                    parameters.gap_open_penalty,
+                    parameters.gap_extend_penalty,
+                    indel_boundary=indel_boundary,
+                )
+            else:
+                bt, lastrow, lastcol = sw_ops.sw_forward(
+                    ref_a,
+                    alt_a,
+                    reflen,
+                    altlen,
+                    parameters.match_value,
+                    parameters.mismatch_penalty,
+                    parameters.gap_open_penalty,
+                    parameters.gap_extend_penalty,
+                    indel_boundary=indel_boundary,
+                    pack_bt=True,  # halves the O(N*M) device->host transfer
+                )
             bt = np.ascontiguousarray(np.asarray(bt))  # (P, N, M//2) packed
             lastrow = np.asarray(lastrow).astype(np.int32, copy=False)
             lastcol = np.ascontiguousarray(np.asarray(lastcol)).astype(np.int32, copy=False)

@@ -1,0 +1,218 @@
+"""Smith-Waterman score+backtrack kernel in Pallas (TPU fast path).
+
+Same recurrence and backtrack codes as ``ops/sw.py`` (semantics from
+``PairWiseSW.h:27-263``), with the DP state in VMEM scratch across a
+``fori_loop`` over reference rows:
+
+* H/F carry as (M, LANE_BLOCK) int32 tiles; the within-row E recurrence
+  ``E[j] = max(g[j], E[j-1] + w)`` has a CONSTANT increment ``w =
+  max(open, extend)``, so the tropical Hillis-Steele scan is one roll, one
+  scalar add and one max per level;
+* backtrack codes store as uint8 rows into a (N, M, LANE_BLOCK) VMEM output
+  block (nibble-packing and the (P, N, M/2) transpose run as one fused XLA
+  pass after the kernel).
+
+The VMEM budget caps the padded problem at roughly N*M <= 96k cells per
+lane block (e.g. 320x256); the caller falls back to the jnp scan kernel
+beyond that.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sw import DELETE, DELETE_EXT, INSERT, INSERT_EXT, LOW_INIT_VALUE, MATRIX_MIN_CUTOFF
+
+LANE_BLOCK = 128
+# scan-mask floor: far below any real score, far above i32 overflow when
+# level offsets (<= N*|w|) are added
+_SCAN_LOW = -(2**30)
+
+
+def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
+            wm_ref, wx_ref, wo_ref, we_ref,
+            bt_ref, lastrow_ref, lastcol_ref, h_ref, f_ref):
+    M, LP = h_ref.shape
+    N = ref_ref.shape[0]
+    i32 = jnp.int32
+
+    col_iota = jax.lax.broadcasted_iota(i32, (M, LP), 0)
+    alt_i = alt_ref[:]
+    reflen = reflen_ref[:]  # (1, LP)
+    altlen = altlen_ref[:]
+    w_match = wm_ref[:]  # (1, LP)
+    w_mismatch = wx_ref[:]
+    w_open = wo_ref[:]
+    w_extend = we_ref[:]
+    w = jnp.maximum(w_open, w_extend)
+    low = i32(LOW_INIT_VALUE)
+    cutoff = i32(MATRIX_MIN_CUTOFF)
+    scan_low = i32(_SCAN_LOW)
+
+    lastcol_onehot = col_iota + 1 == altlen  # (M, LP) bool
+
+    # E[0] boundary term: max(T, low + (j+1)*w), hoisted (w is loop-invariant)
+    low_s = low + (col_iota + 1) * w
+
+    levels = []
+    k = 1
+    while k < M:
+        levels.append(k)
+        k <<= 1
+
+    def shift1(v, first):
+        return jnp.where(col_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    if indel_boundary:
+        h0 = w_open + col_iota * w_extend  # H(0, j), j = col_iota + 1
+    else:
+        h0 = jnp.zeros((M, LP), i32)
+    h_ref[:] = h0
+    f_ref[:] = jnp.full((M, LP), low, i32)
+    lastrow_ref[:] = jnp.zeros((M, LP), i32)
+
+    def body(i, carry):
+        # row index i is 1-based
+        rc = ref_ref[pl.ds(i - 1, 1), :]  # (1, LP)
+        if indel_boundary:
+            b_i = w_open + (i - 1) * w_extend  # (1, LP); H(i, 0)
+            b_prev = jnp.where(i - 1 >= 1, w_open + (i - 2) * w_extend, 0)
+        else:
+            b_i = jnp.zeros((1, LP), i32)
+            b_prev = jnp.zeros((1, LP), i32)
+
+        h_prev = h_ref[:]
+        f_prev = f_ref[:]
+
+        sbt = jnp.where(alt_i == rc, w_match, w_mismatch)
+        h_diag = shift1(h_prev, b_prev)
+        hc = jnp.maximum(h_diag + sbt, cutoff)
+
+        open_v = h_prev + w_open
+        ext_v = f_prev + w_extend
+        f_new = jnp.maximum(open_v, ext_v)
+        dext = open_v <= ext_v
+
+        hf = jnp.maximum(hc, f_new)
+        g = w_open + shift1(hf, b_i)
+
+        # E[j] = max(max_k(g[j-k] + k*w), low + (j+1)*w): constant-increment
+        # tropical scan — roll, scalar add, max per level
+        T = g
+        for k in levels:
+            T_sh = jnp.where(
+                col_iota >= k,
+                pltpu.roll(T, jnp.int32(k), 0) + k * w,
+                scan_low,
+            )
+            T = jnp.maximum(T, T_sh)
+        e_new = jnp.maximum(T, low_s)
+
+        e_gt = e_new > hc
+        h_after_e = jnp.maximum(hc, e_new)
+        f_gt = f_new > h_after_e
+        h_new = jnp.maximum(h_after_e, f_new)
+
+        iext = shift1(h_new, b_i) + w_open <= shift1(e_new, low) + w_extend
+
+        bt = (
+            jnp.where(f_gt, DELETE, jnp.where(e_gt, INSERT, 0))
+            | jnp.where(iext, INSERT_EXT, 0)
+            | jnp.where(dext, DELETE_EXT, 0)
+        ).astype(jnp.uint8)
+        bt_ref[pl.ds(i - 1, 1), :, :] = bt[None]
+
+        lc = jnp.max(jnp.where(lastcol_onehot, h_new, scan_low), axis=0, keepdims=True)
+        lastcol_ref[pl.ds(i - 1, 1), :] = lc
+        lastrow_ref[:] = jnp.where(i == reflen, h_new, lastrow_ref[:])
+
+        h_ref[:] = h_new
+        f_ref[:] = f_new
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(N + 1), body, jnp.int32(0))
+
+
+def sw_pallas_fits(N: int, M: int, lane_block: int = LANE_BLOCK) -> bool:
+    """VMEM budget for the (N, M, LANE_BLOCK) backtrack block (+state)."""
+    return N * M * lane_block + 12 * M * lane_block * 4 <= 10 * (1 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("indel_boundary", "lane_block", "interpret"))
+def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
+                      gap_extend, *, indel_boundary: bool,
+                      lane_block: int = LANE_BLOCK, interpret: bool = False):
+    """Same contract as ``sw.sw_forward(..., pack_bt=True)``: returns
+    (bt_packed (P, N, M//2) uint8, lastrow (M, P) int32, lastcol (N, P) int32).
+    """
+    N, P = ref.shape
+    M = alt.shape[0]
+    assert M % 2 == 0 and P % lane_block == 0
+    i32 = jnp.int32
+
+    ref_i = ref.astype(i32)
+    alt_i = alt.astype(i32)
+    ones = jnp.ones((1, P), i32)
+    wm = ones * jnp.asarray(match, i32)
+    wx = ones * jnp.asarray(mismatch, i32)
+    wo = ones * jnp.asarray(gap_open, i32)
+    we = ones * jnp.asarray(gap_extend, i32)
+    reflen2 = reflen.astype(i32)[None, :]
+    altlen2 = altlen.astype(i32)[None, :]
+
+    grid = (P // lane_block,)
+
+    def lane_spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            (*dims, lane_block),
+            lambda i: tuple([jnp.int32(0)] * nd) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        lane_spec(N),  # ref
+        lane_spec(M),  # alt
+        lane_spec(1),  # reflen
+        lane_spec(1),  # altlen
+        lane_spec(1),  # wm
+        lane_spec(1),  # wx
+        lane_spec(1),  # wo
+        lane_spec(1),  # we
+    ]
+    out_specs = [
+        lane_spec(N, M),  # bt (unpacked u8)
+        lane_spec(M),     # lastrow
+        lane_spec(N),     # lastcol
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((N, M, P), jnp.uint8),
+        jax.ShapeDtypeStruct((M, P), i32),
+        jax.ShapeDtypeStruct((N, P), i32),
+    ]
+
+    with jax.enable_x64(False):
+        bt, lastrow, lastcol = pl.pallas_call(
+            functools.partial(_kernel, indel_boundary),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((M, lane_block), i32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=int(30 * N * M) * P,
+                bytes_accessed=int(N * M) * P,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(ref_i, alt_i, reflen2, altlen2, wm, wx, wo, we)
+
+    # nibble-pack + lane-major transposes as one fused XLA pass (matching
+    # sw.sw_forward's (P, N, M/2) / (M, P) / (P, N) output contract)
+    bt_packed = bt[:, 0::2, :] | (bt[:, 1::2, :] << 4)  # (N, M/2, P)
+    return jnp.transpose(bt_packed, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0))
