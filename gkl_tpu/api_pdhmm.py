@@ -35,12 +35,36 @@ class PDHaplotypeData(HaplotypeData):
         self.haplotype_pdbases = np.asarray(self.haplotype_pdbases).astype(np.uint8)
 
 
+class KernelLevel(int):
+    """AVXLevel analogue (pdhmm-implementation.h:45-58): which engine tier.
+
+    FASTEST_AVAILABLE picks Pallas on TPU, the jnp scan elsewhere; SCALAR
+    forces the jnp engine (the reference's scalar_impl equivalent).
+    """
+
+
+KernelLevel.FASTEST_AVAILABLE = KernelLevel(0)
+KernelLevel.SCALAR = KernelLevel(1)
+KernelLevel.PALLAS = KernelLevel(2)
+
+
+class ParallelSetting(int):
+    """OpenMPSetting analogue (pdhmm-implementation.h:45-50)."""
+
+
+ParallelSetting.FASTEST_AVAILABLE = ParallelSetting(0)
+ParallelSetting.ENABLE = ParallelSetting(1)
+ParallelSetting.DISABLE = ParallelSetting(2)
+
+
 @dataclasses.dataclass
 class PDHMMNativeArguments:
     """Mirror of PDHMMNativeArguments (IntelPDHMM.java:79-89)."""
 
     max_number_of_threads: int = 0  # 0 = all devices (FASTEST_AVAILABLE)
     max_memory_in_mb: int = 512
+    kernel_level: int = KernelLevel.FASTEST_AVAILABLE  # avxLevel analogue
+    parallel_setting: int = ParallelSetting.FASTEST_AVAILABLE
     # The reference kernel is double-only; here the default is the
     # float-first-with-double-rescue architecture (the reference's own
     # PairHMM pattern, pairhmm/IntelPairHmm.cc:157-165) because f64 is
@@ -85,6 +109,7 @@ class PDHMM:
         use_pallas = (
             dtype == "float32"
             and boost_row is None
+            and self.args.kernel_level != KernelLevel.SCALAR
             and utils.is_tpu_available()
             and hap.shape[1] % 128 == 0
             and read.shape[0] <= 1024
