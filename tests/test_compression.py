@@ -142,3 +142,28 @@ def test_bam_bgzf_recompress(level):
     assert payload[:4] == b"BAM\x01"
     restream = bgzf.compress(payload, level=level)
     assert bgzf.decompress(restream) == payload
+
+
+def test_fast_deflate_mode(monkeypatch):
+    """GKL_TPU_FAST_DEFLATE=1 routes levels 1-2 to the fixed-Huffman fast
+    encoder; output is standard DEFLATE, decodable by the zlib oracle.
+    The env is read once per process by the native lib, so this test drives
+    the encoder through a subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "import zlib, numpy as np\n"
+        "from gkl_tpu import compression as comp\n"
+        "rng = np.random.default_rng(1)\n"
+        "for data in [bytes(np.frombuffer(b'ACGT', np.uint8)[rng.integers(0,4,100000)]),\n"
+        "             b'hello world ' * 5000, bytes(rng.integers(0,256,65536,dtype=np.uint8))]:\n"
+        "    for level in (1, 2):\n"
+        "        c = comp.raw_deflate(data, level, nowrap=True)\n"
+        "        assert zlib.decompress(c, -zlib.MAX_WBITS) == data\n"
+        "print('OK')\n"
+    )
+    env = dict(os.environ, GKL_TPU_FAST_DEFLATE="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, cwd=os.path.dirname(DATA_DIR) + "/..")
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
