@@ -36,11 +36,10 @@ _N_CODE = 78
 LANE_BLOCK = 128
 
 
-def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
-            pmx_ref, pxx_ref, pmy_ref, pyy_ref, inity_ref, rslen_ref,
+def _kernel(hap_ref, packed_ref, inity_ref, rslen_ref,
             haplen_ref, out_ref, m_ref, x_ref, y_ref):
     H, LP = m_ref.shape
-    R = read_ref.shape[0]
+    R = packed_ref.shape[0] // 8
     f32 = jnp.float32
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (H, LP), 0)
@@ -68,15 +67,19 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
 
     def body(r, acc):
-        rc = read_ref[pl.ds(r, 1), :]  # (1, LP)
-        dmatch = dmatch_ref[pl.ds(r, 1), :]
-        dmis = dmis_ref[pl.ds(r, 1), :]
-        pmm = pmm_ref[pl.ds(r, 1), :]
-        pgapm = pgapm_ref[pl.ds(r, 1), :]
-        pmx = pmx_ref[pl.ds(r, 1), :]
-        pxx = pxx_ref[pl.ds(r, 1), :]
-        pmy = pmy_ref[pl.ds(r, 1), :]
-        pyy = pyy_ref[pl.ds(r, 1), :]
+        # all 8 per-row vectors in one contiguous (8, LP) read (8 separate
+        # dynamic slices cost ~5% of the kernel); pxx == pyy == the gap
+        # continuation probability, deduplicated at pack time
+        rows8 = packed_ref[pl.ds(8 * r, 8), :]
+        rc = rows8[0:1].astype(jnp.int32)
+        dmatch = rows8[1:2]
+        dmis = rows8[2:3]
+        pmm = rows8[3:4]
+        pgapm = rows8[4:5]
+        pmx = rows8[5:6]
+        pmy = rows8[6:7]
+        pxx = rows8[7:8]
+        pyy = pxx
 
         match = (hap == rc) | hap_match_n | (rc == _N_CODE)
         prior = jnp.where(match, dmatch, dmis)
@@ -252,15 +255,20 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
         p_my = ph2pr[dm]
         distm = ph2pr[qm]
     p_gapm = f(1.0) - ph2pr_c
-    p_xx = ph2pr_c
-    p_yy = ph2pr_c
     dmatch = f(1.0) - distm
     dmis = distm / f(3.0)
     inity = (jnp.asarray(ctx.INITIAL_CONSTANT, f) / haplen.astype(f))[None, :]
     hap_i = hap.astype(jnp.int32)
-    read_i = read.astype(jnp.int32)
     rslen2 = rslen.astype(jnp.int32)[None, :]
     haplen2 = haplen.astype(jnp.int32)[None, :]
+
+    # per-row vectors interleaved along sublanes: rows 8r..8r+7 hold read-row
+    # r's {read, dmatch, dmis, pMM, pGAPM, pMX, pMY, pCont} so the kernel
+    # reads them as one contiguous (8, LP) dynamic slice
+    packed = jnp.stack(
+        [read.astype(f), dmatch, dmis, p_mm, p_gapm, p_mx, p_my, ph2pr_c],
+        axis=1,
+    ).reshape(R * 8, P)
 
     grid = (P // lane_block,)
 
@@ -273,19 +281,11 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
         )
 
     in_specs = [
-        lane_spec(H),  # hap
-        lane_spec(R),  # read
-        lane_spec(R),  # dmatch
-        lane_spec(R),  # dmis
-        lane_spec(R),  # pmm
-        lane_spec(R),  # pgapm
-        lane_spec(R),  # pmx
-        lane_spec(R),  # pxx
-        lane_spec(R),  # pmy
-        lane_spec(R),  # pyy
-        lane_spec(1),  # inity
-        lane_spec(1),  # rslen
-        lane_spec(1),  # haplen
+        lane_spec(H),      # hap
+        lane_spec(R * 8),  # packed per-row vectors
+        lane_spec(1),      # inity
+        lane_spec(1),      # rslen
+        lane_spec(1),      # haplen
     ]
 
     # x64 trace mode costs extra inside the Mosaic kernel (i64 scalar
@@ -308,6 +308,5 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(hap_i, read_i, dmatch, dmis, p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
-          inity, rslen2, haplen2)
+        )(hap_i, packed, inity, rslen2, haplen2)
     return out[0]
