@@ -31,10 +31,10 @@ def _emit(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": value, "unit": unit, **extra}), flush=True)
 
 
-def _device_loop_time(fn_loop, args, iters, x64=False):
+def _device_loop_time(fn_loop, args, iters, x64=True):
     """Min wall time of jitted fori-loop at two iteration counts, differenced
-    to cancel dispatch/fetch overhead (see bench.py methodology).  f32 fast
-    paths trace with x64 off, matching the public APIs."""
+    to cancel dispatch/fetch overhead (see bench.py methodology).  Kernels
+    scope x64 internally; preps need the global x64 for f64 closed forms."""
     import contextlib
 
     import jax

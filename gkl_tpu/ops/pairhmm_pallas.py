@@ -163,6 +163,61 @@ def _match_to_match_arith(im, dm):
     return jnp.exp2(m2m_log10 * f(_LOG2_10))
 
 
+def _ph2pr_arith64(qual_i32):
+    """``10^(-q/10)`` in f64, cast f32 (<= 2 ulp of the f32 powf table).
+
+    The one-hot MXU lookup is exact but bandwidth-bound: its materialised
+    one-hot matrices dominate the whole forward call.  O(R*P) emulated-f64
+    arithmetic is far cheaper.
+    """
+    f64 = jnp.float64
+    return jnp.exp2(qual_i32.astype(f64) * f64(-_LOG2_10 / 10.0)).astype(jnp.float32)
+
+
+_LN10 = float(np.log(10.0))
+
+
+@functools.lru_cache(maxsize=1)
+def _jac_by_delta() -> np.ndarray:
+    """The 128 reachable f32 Jacobian-table entries.
+
+    The table index is ``round(diff * 1e4)`` with ``diff = 0.1*(mx - mn)``
+    (f32 roundings never move it off the integer), so only indices
+    ``1000 * delta`` for delta in [0, 128) occur.
+    """
+    jt = ctx_mod.jacobian_log_table("float32")
+    return jt[np.minimum(np.arange(128) * 1000, len(jt) - 1)].astype(np.float32)
+
+
+def _m2m_arith64(im, dm):
+    """set_mm_prob, bit-exact vs the float context table (Context.h:74-89)
+    at a fraction of a one-hot 2-D contraction's bandwidth:
+
+    * the Jacobian correction only depends on ``mx - mn`` — a 128-entry
+      one-hot lookup of the exact f32 table entries;
+    * ``ls = big + jac`` reproduces the table's f32 rounding;
+    * ``1 - 10^ls`` evaluates as ``-expm1(ls*ln10)`` — relatively accurate
+      with no cancellation — in f64 (one emulated transcendental; f32 expm1
+      deviates up to 2e-5 at near-cancellation entries);
+    * the final ``10^(w * 0.434294)`` with w = log1p(-p) is
+      ``(1-p) * e^((k-1)w)`` for ``k = 0.434294*ln10 = 1 - 1.04e-6``,
+      expanded to first order (quadratic term <= 3e-9).
+    """
+    f32 = jnp.float32
+    f64 = jnp.float64
+    mx = jnp.maximum(im, dm)
+    mn = jnp.minimum(im, dm)
+    small = f32(-0.1) * mx.astype(f32)
+    big = f32(-0.1) * mn.astype(f32)
+    diff = big - small  # >= 0
+    jac = _onehot_gather(jnp.asarray(_jac_by_delta(), f32), mx - mn)
+    ls = jnp.where(diff >= f32(8.0), big, big + jac)
+    one_minus_p = jnp.clip(-jnp.expm1(ls.astype(f64) * f64(_LN10)), f64(0.0), f64(1.0))
+    w = jnp.log(jnp.maximum(one_minus_p, f64(1e-300)))
+    corr = f64(1.0) + f64(0.434294 * _LN10 - 1.0) * w
+    return jnp.where(one_minus_p > f64(0.0), one_minus_p * corr, f64(0.0)).astype(f32)
+
+
 @functools.lru_cache(maxsize=2)
 def _m2m_2d(dtype: str = "float32") -> np.ndarray:
     """match-to-match cache reshaped (max_q, min_q) -> (128, 128) for the
@@ -207,19 +262,23 @@ def _m2m_mxu(im, dm):
 
 
 @functools.partial(jax.jit, static_argnames=("lane_block", "interpret", "prep"))
-def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: int = LANE_BLOCK, interpret: bool = False, prep: str = "mxu"):
+def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: int = LANE_BLOCK, interpret: bool = False, prep: str = "arith64"):
     """float32 PairHMM forward probability per lane (TPU Pallas path).
 
     Same contract as ``pairhmm.pairhmm_raw(..., dtype='float32')``; lanes
     must be a multiple of ``lane_block``.  ``prep`` selects how per-row
     transition probabilities are produced:
 
-    * "mxu" (default) — exact table values via one-hot matmul gathers
-      (bit-identical to the context tables, MXU-fast);
-    * "table" — plain vector gathers (exact, slow on TPU; fine on CPU);
-    * "arith" — closed-form VPU evaluation (fastest, ~1e-5 relative error on
-      the match-to-match entries: outside the golden 1e-5 contract, kept for
-      throughput-over-parity use).
+    * "arith64" (default) — f64 closed forms replicating the table
+      construction (match-to-match bit-exact, ph2pr <= 1 ulp of powf; golden
+      104-case max err identical to exact tables).  The one-hot/table
+      alternatives materialise (R*P, 128) one-hots whose HBM traffic costs
+      more than the DP kernel itself;
+    * "mxu" — exact table values via one-hot matmul gathers (bit-identical
+      to the context tables, bandwidth-heavy);
+    * "table" — plain vector gathers (exact, scalar-core-slow on TPU; fine
+      on CPU);
+    * "arith" — all-f32 closed forms (kept for x64-disabled contexts).
     """
     ctx = ctx_mod.pairhmm_context("float32")
     f = jnp.float32
@@ -231,7 +290,17 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
     im = (iq & 127).astype(jnp.int32)
     dm = (dq & 127).astype(jnp.int32)
     cm = (gcp & 127).astype(jnp.int32)
-    if prep == "arith":
+    if prep == "arith64":
+        # default on TPU: closed forms — m2m mixed f32/f64 (the 1-p
+        # cancellation needs f64), ph2pr in f32 (<= 1 ulp of the powf
+        # table); no HBM-bound one-hot materialisation, and only two
+        # emulated-f64 transcendental passes in total
+        p_mm = _m2m_arith64(im, dm)
+        ph2pr_c = _ph2pr_arith(cm)
+        p_mx = _ph2pr_arith(im)
+        p_my = _ph2pr_arith(dm)
+        distm = _ph2pr_arith(qm)
+    elif prep == "arith":
         p_mm = _match_to_match_arith(im, dm)
         ph2pr_c = _ph2pr_arith(cm)
         p_mx = _ph2pr_arith(im)

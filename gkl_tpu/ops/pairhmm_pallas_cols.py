@@ -135,12 +135,12 @@ def pairhmm_raw_pallas_cols(hap, read, q, iq, dq, gcp, haplen, rslen,
     dm = (dq & 127).astype(jnp.int32)
     cm = (gcp & 127).astype(jnp.int32)
 
-    table = jnp.asarray(ctx.ph2pr, f)
-    p_mm = rows_mod._m2m_mxu(im, dm)
-    ph2pr_c = rows_mod._onehot_gather(table, cm)
-    p_mx = rows_mod._onehot_gather(table, im)
-    p_my = rows_mod._onehot_gather(table, dm)
-    distm = rows_mod._onehot_gather(table, qm)
+    # closed-form prep (see pairhmm_pallas.pairhmm_raw_pallas prep docs)
+    p_mm = rows_mod._m2m_arith64(im, dm)
+    ph2pr_c = rows_mod._ph2pr_arith(cm)
+    p_mx = rows_mod._ph2pr_arith(im)
+    p_my = rows_mod._ph2pr_arith(dm)
+    distm = rows_mod._ph2pr_arith(qm)
     p_gapm = f(1.0) - ph2pr_c
     p_xx = ph2pr_c
     p_yy = ph2pr_c
