@@ -60,6 +60,69 @@ _LOG2_10 = float(np.log2(10.0))
 _INV_LN10 = 1.0 / float(np.log(10.0))  # exact constant (pdhmm/MathUtils.cc:38-39)
 
 
+_LN10 = float(np.log(10.0))
+
+
+def _q2e_arith(qual_i32):
+    """``10^(-q/10)`` in f32 (<= 2 ulp of the f64-built table; the one-hot
+    lookup's materialised (R*P, 255) one-hots are HBM-bound and cost more
+    than the DP kernel)."""
+    f32 = jnp.float32
+    return jnp.exp2(qual_i32.astype(f32) * f32(-_LN10 / np.log(2.0) / 10.0))
+
+
+@functools.lru_cache(maxsize=1)
+def _jac_hi_lo_2d() -> np.ndarray:
+    """The 256 reachable f64 Jacobian entries (index = 1000*delta) as a
+    (16, 32) grid: row = delta>>4, columns interleave the f32 (hi, lo)
+    split of delta&15, so two 16-wide one-hot contractions reconstruct the
+    f64 value to ~1e-15 (a flat 255-wide one-hot costs ~4x the HBM
+    traffic)."""
+    jt = ctx_mod.jacobian_log_table("float64")
+    idx = np.minimum(np.arange(256) * 1000, len(jt) - 1)
+    vals = jt[idx]
+    hi = vals.astype(np.float32)
+    lo = (vals - hi.astype(np.float64)).astype(np.float32)
+    out = np.empty((16, 32), np.float32)
+    out[:, 0::2] = hi.reshape(16, 16)
+    out[:, 1::2] = lo.reshape(16, 16)
+    return out
+
+
+def _m2m_pdhmm_arith(im, dm):
+    """matchToMatchProb (pdhmm-common.h:175-184) without f64 transcendental
+    chains: with PDHMM's *exact* 1/ln(10), ``10^(log1p(-p)/ln10)`` is
+    identically ``1 - p``, so the value is ``-expm1(ls * ln10)`` with
+    ``ls = -0.1*mn + jac`` — one emulated-f64 transcendental.  The Jacobian
+    entry depends only on ``mx - mn`` and is reconstructed in f64 from a
+    two-level hi/lo-split one-hot lookup."""
+    f32 = jnp.float32
+    f64 = jnp.float64
+    mx = jnp.maximum(im, dm)
+    mn = jnp.minimum(im, dm)
+    delta = mx - mn
+    tab = jnp.asarray(_jac_hi_lo_2d(), f32)  # (16, 32)
+    dflat = delta.reshape(-1, 1)
+    r16 = jnp.arange(16, dtype=jnp.int32)[None, :]
+    oh_hi = ((dflat >> 4) == r16).astype(f32)  # (RP, 16)
+    rows = jax.lax.dot_general(
+        oh_hi, tab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (RP, 32)
+    oh_lo = ((dflat & 15) == r16).astype(f32)
+    hi = jnp.sum(rows[:, 0::2] * oh_lo, axis=1)
+    lo = jnp.sum(rows[:, 1::2] * oh_lo, axis=1)
+    jac = (hi.astype(f64) + lo.astype(f64)).reshape(delta.shape)
+    # replicate the table's f64 operand construction exactly (the >= 8.0
+    # branch can flip either way at delta == 80 depending on mn's rounding)
+    small = f64(-0.1) * mx.astype(f64)
+    big = f64(-0.1) * mn.astype(f64)
+    diff = big - small
+    ls = jnp.where(diff >= f64(8.0), big, big + jac)
+    return jnp.clip(-jnp.expm1(ls * f64(_LN10)), f64(0.0), f64(1.0)).astype(f32)
+
+
 def _onehot_gather_256(table, idx):
     """Exact 255-entry table lookup as a one-hot MXU contraction.
 
@@ -77,35 +140,6 @@ def _onehot_gather_256(table, idx):
         preferred_element_type=jnp.float32,
     )
     return v.reshape(idx.shape)
-
-
-def _match_to_match_arith(im, dm):
-    """matchToMatchProb (pdhmm-common.h:175-184) evaluated closed-form.
-
-    The Jacobian-table quantization is exact here (``diff*1e4`` always lands
-    on the integer ``1000*|i-d|``).  Evaluated in f64 when x64 is enabled
-    (matches the f64-built context table to ~1 ulp; this is O(R*P) prep, so
-    emulated f64 on TPU is cheap) and f32 otherwise.  Uses PDHMM's exact
-    1/ln(10) (unlike PairHMM's truncated constant).
-    """
-    import jax as _jax
-
-    f = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
-    mx = jnp.maximum(im, dm).astype(f)
-    mn = jnp.minimum(im, dm).astype(f)
-    small = f(-0.1) * mx
-    big = f(-0.1) * mn
-    diff = big - small
-    ind = jnp.round(diff * f(10000.0))
-    jac = jnp.where(
-        diff >= f(8.0),
-        f(0.0),
-        jnp.log1p(jnp.exp2(-(ind * f(1e-4)) * f(_LOG2_10))) * f(_INV_LN10),
-    )
-    ls = big + jac
-    p = jnp.minimum(f(1.0), jnp.exp2(ls * f(_LOG2_10)))
-    m2m_log10 = jnp.log1p(-p) * f(_INV_LN10)
-    return jnp.exp2(m2m_log10 * f(_LOG2_10)).astype(jnp.float32)
 
 
 def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
@@ -271,8 +305,6 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     R = read.shape[0]
     assert P % lane_block == 0, (P, lane_block)
 
-    q2e = jnp.asarray(ctx.qual_to_error_prob, f)
-
     def qidx(x):
         return jnp.minimum(x.astype(jnp.int32), ctx_mod.MAX_QUAL)
 
@@ -282,17 +314,16 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     qm = qidx(q)
 
     # per-row transitions (pdhmm-serial.cc:181-226), computed once outside
-    # the kernel.  Table lookups use one-hot MXU contractions (exact) and
-    # the match-to-match transition the closed form (f32-rounding-exact) —
-    # XLA vector gathers would cost more than the whole DP kernel.
-    t_mm = _match_to_match_arith(im, dm)
-    t_mi = _onehot_gather_256(q2e, im)
-    t_md = _onehot_gather_256(q2e, dm)
-    q2e_cm = _onehot_gather_256(q2e, cm)
+    # the kernel via closed forms — one-hot/table lookups are HBM- or
+    # scalar-core-bound and cost more than the whole DP kernel
+    t_mm = _m2m_pdhmm_arith(im, dm)
+    t_mi = _q2e_arith(im)
+    t_md = _q2e_arith(dm)
+    q2e_cm = _q2e_arith(cm)
     t_im = f(1.0) - q2e_cm
     t_dd = q2e_cm
 
-    err = _onehot_gather_256(q2e, qm)
+    err = _q2e_arith(qm)
     p_match = f(1.0) - err
     p_mis = err / f(3.0)
 
