@@ -178,15 +178,32 @@ _LN10 = float(np.log(10.0))
 
 
 @functools.lru_cache(maxsize=1)
-def _jac_by_delta() -> np.ndarray:
-    """The 128 reachable f32 Jacobian-table entries.
+def _jac_by_delta_2d() -> np.ndarray:
+    """The 128 reachable f32 Jacobian-table entries as an (8, 16) grid.
 
     The table index is ``round(diff * 1e4)`` with ``diff = 0.1*(mx - mn)``
     (f32 roundings never move it off the integer), so only indices
-    ``1000 * delta`` for delta in [0, 128) occur.
+    ``1000 * delta`` for delta in [0, 128) occur; the two-level one-hot
+    lookup (row = delta>>4, column = delta&15) costs a fraction of a flat
+    128-wide one-hot's HBM traffic.
     """
     jt = ctx_mod.jacobian_log_table("float32")
-    return jt[np.minimum(np.arange(128) * 1000, len(jt) - 1)].astype(np.float32)
+    return jt[np.minimum(np.arange(128) * 1000, len(jt) - 1)].astype(np.float32).reshape(8, 16)
+
+
+def _jac_lookup_2level(delta):
+    """Exact f32 Jacobian entry per element via two 8/16-wide one-hots."""
+    f32 = jnp.float32
+    tab = jnp.asarray(_jac_by_delta_2d(), f32)  # (8, 16)
+    dflat = delta.reshape(-1, 1)
+    oh_hi = ((dflat >> 4) == jnp.arange(8, dtype=jnp.int32)[None, :]).astype(f32)
+    rows = jax.lax.dot_general(
+        oh_hi, tab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (RP, 16)
+    oh_lo = ((dflat & 15) == jnp.arange(16, dtype=jnp.int32)[None, :]).astype(f32)
+    return jnp.sum(rows * oh_lo, axis=1).reshape(delta.shape)
 
 
 def _m2m_arith64(im, dm):
@@ -210,7 +227,7 @@ def _m2m_arith64(im, dm):
     small = f32(-0.1) * mx.astype(f32)
     big = f32(-0.1) * mn.astype(f32)
     diff = big - small  # >= 0
-    jac = _onehot_gather(jnp.asarray(_jac_by_delta(), f32), mx - mn)
+    jac = _jac_lookup_2level(mx - mn)
     ls = jnp.where(diff >= f32(8.0), big, big + jac)
     one_minus_p = jnp.clip(-jnp.expm1(ls.astype(f64) * f64(_LN10)), f64(0.0), f64(1.0))
     w = jnp.log(jnp.maximum(one_minus_p, f64(1e-300)))
