@@ -169,6 +169,34 @@ class PairHMM:
         )
         return np.asarray(raw)[: packed.n_real]
 
+    def _rescue_scaled(self, packed: batch_mod.PackedPairs) -> np.ndarray | None:
+        """On-device rescue: log10 likelihoods from the scaled-f32 kernel,
+        or None when the fast path does not apply.
+
+        Accuracy: f32 precision at any depth — accumulated rounding grows
+        with read length (~5e-6 log10 at golden sizes, ~1e-4 at 256 bp;
+        the same noise the unrescued f32 path has at those lengths).  Set
+        GKL_TPU_EXACT_RESCUE=1 to force the reference-exact host f64 rescue.
+        """
+        import os
+
+        if os.environ.get("GKL_TPU_EXACT_RESCUE") == "1":
+            return None
+        H, R = packed.hap.shape[0], packed.read.shape[0]
+        if not (self._use_pallas(H) and R % 4 == 0):
+            return None
+        from .ops import pairhmm_pallas
+
+        mant, ex = pairhmm_pallas.pairhmm_raw_pallas_scaled(
+            packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+            packed.gcp, packed.haplen, packed.rslen, lane_block=128,
+        )
+        mant = np.asarray(mant, dtype=np.float64)[: packed.n_real]
+        ex = np.asarray(ex, dtype=np.float64)[: packed.n_real]
+        with np.errstate(divide="ignore"):
+            # the scaled kernel's IC is 2^120, removed here exactly
+            return np.log10(mant) + (ex - 120.0) * np.log10(2.0)
+
     def compute_likelihoods(
         self,
         reads: Sequence[ReadData],
@@ -221,13 +249,20 @@ class PairHMM:
                 res = pairhmm_ops.pairhmm_log10_from_raw_f32(raw32)
                 needs_rescue = raw32 < MIN_ACCEPTED
                 if np.any(needs_rescue):
-                    # Double rescue (IntelPairHmm.cc:157-165).  Recompute the
-                    # whole packed batch in f64 and substitute rescued lanes;
-                    # rescues are rare so a finer repack is a later
-                    # optimisation.
-                    raw64 = self._raw_batch(packed, "float64")
-                    res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
-                    res = np.where(needs_rescue, res64, res)
+                    # Rescue (IntelPairHmm.cc:157-165).  On TPU the rescue
+                    # pass is the scaled-f32 kernel (per-lane power-of-two
+                    # renormalisation, unlimited range on device); elsewhere
+                    # — and for results so deep the reference's f64 would go
+                    # subnormal — the f64 engine recomputes on the host.
+                    res_scaled = self._rescue_scaled(packed)
+                    if res_scaled is not None:
+                        usable = needs_rescue & np.isfinite(res_scaled) & (res_scaled > -600.0)
+                        res = np.where(usable, res_scaled, res)
+                        needs_rescue = needs_rescue & ~usable
+                    if np.any(needs_rescue):
+                        raw64 = self._raw_batch(packed, "float64")
+                        res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
+                        res = np.where(needs_rescue, res64, res)
             out[np.asarray(idxs)] = res
 
         if profiling.metrics_enabled():

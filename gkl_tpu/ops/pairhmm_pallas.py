@@ -36,6 +36,100 @@ _N_CODE = 78
 LANE_BLOCK = 128
 
 
+def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
+                   out_ref, exp_ref, m_ref, x_ref, y_ref):
+    """Rows kernel with per-lane power-of-two renormalisation every 4 rows.
+
+    Power-of-two multiplies are exact, so in-range lanes match the plain
+    kernel bit-for-bit while deep lanes keep full f32 precision at any
+    depth: the result is ``out * 2^exp`` per lane.  This replaces the
+    host-CPU f64 rescue pass for underflowed lanes (the reference's
+    float->double rescue, IntelPairHmm.cc:157-165) with an on-device one.
+    """
+    H, LP = m_ref.shape
+    R = packed_ref.shape[0] // 8
+    assert R % 4 == 0, R
+    f32 = jnp.float32
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (H, LP), 0)
+    hap = hap_ref[:]
+    hap_match_n = hap == _N_CODE
+    inity = inity_ref[:]
+    col_valid = jnp.where((row_iota + 1) <= haplen_ref[:], f32(1.0), f32(0.0))
+    rslen = rslen_ref[:]
+
+    m_ref[:] = jnp.zeros((H, LP), f32)
+    x_ref[:] = jnp.zeros((H, LP), f32)
+    y_ref[:] = jnp.broadcast_to(inity, (H, LP))
+
+    levels = []
+    k = 1
+    while k < H:
+        levels.append(k)
+        k <<= 1
+
+    def shift1(v, first):
+        return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    def row_body(r, acc):
+        rows8 = packed_ref[pl.ds(8 * r, 8), :]
+        rc = rows8[0:1].astype(jnp.int32)
+        dmatch = rows8[1:2]
+        dmis = rows8[2:3]
+        pmm = rows8[3:4]
+        pgapm = rows8[4:5]
+        pmx = rows8[5:6]
+        pmy = rows8[6:7]
+        pxx = rows8[7:8]
+        pyy = pxx
+
+        match = (hap == rc) | hap_match_n | (rc == _N_CODE)
+        prior = jnp.where(match, dmatch, dmis)
+        m_prev = m_ref[:]
+        x_prev = x_ref[:]
+        y_prev = y_ref[:]
+        t_comb = pmm * m_prev + pgapm * (x_prev + y_prev)
+        y0 = jnp.where(r == 0, inity, jnp.zeros((1, LP), f32))
+        m_new = prior * shift1(t_comb, pgapm * y0)
+        x_new = pmx * m_prev + pxx * x_prev
+        b = pmy * shift1(m_new, jnp.zeros((1, LP), f32))
+        alpha = pyy
+        for k in levels:
+            b_sh = jnp.where(row_iota < k, f32(0.0), pltpu.roll(b, jnp.int32(k), 0))
+            b = alpha * b_sh + b
+            alpha = alpha * alpha
+        m_ref[:] = m_new
+        x_ref[:] = x_new
+        y_ref[:] = b
+        row_sum = jnp.sum((m_new + x_new) * col_valid, axis=0, keepdims=True)
+        return acc + jnp.where(rslen == (r + 1), row_sum, f32(0.0))
+
+    def chunk_body(c, carry):
+        acc, exp_acc = carry
+        for k in range(4):
+            acc = row_body(c * 4 + jnp.int32(k), acc)
+        # renormalise: bring the per-lane maximum magnitude back to ~1
+        m_v = m_ref[:]
+        x_v = x_ref[:]
+        y_v = y_ref[:]
+        mx = jnp.max(jnp.maximum(m_v, jnp.maximum(x_v, y_v)), axis=0, keepdims=True)
+        mx = jnp.maximum(mx, acc)
+        bits = jax.lax.bitcast_convert_type(mx, jnp.int32)
+        e = jnp.clip(((bits >> 23) & 0xFF) - 127, -126, 126)
+        sf = jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32)
+        m_ref[:] = m_v * sf
+        x_ref[:] = x_v * sf
+        y_ref[:] = y_v * sf
+        return acc * sf, exp_acc + e
+
+    acc, exp_acc = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(R // 4), chunk_body,
+        (jnp.zeros((1, LP), f32), jnp.zeros((1, LP), jnp.int32)),
+    )
+    out_ref[:] = acc
+    exp_ref[:] = exp_acc
+
+
 def _kernel(hap_ref, packed_ref, inity_ref, rslen_ref,
             haplen_ref, out_ref, m_ref, x_ref, y_ref):
     H, LP = m_ref.shape
@@ -122,6 +216,76 @@ def _kernel(hap_ref, packed_ref, inity_ref, rslen_ref,
     out_ref[:] = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(R), body, jnp.zeros((1, LP), f32)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
+def pairhmm_raw_pallas_scaled(hap, read, q, iq, dq, gcp, haplen, rslen,
+                              *, lane_block: int = LANE_BLOCK,
+                              interpret: bool = False):
+    """Scaled-f32 PairHMM forward: returns (mantissa (P,), exp2 (P,) int32).
+
+    The per-lane forward probability is ``mantissa * 2^exp2`` — unlimited
+    dynamic range at f32 precision, used as the on-device rescue pass for
+    lanes whose plain-f32 result underflows MIN_ACCEPTED.  In-range lanes
+    match the plain kernel bit-for-bit (power-of-two rescales are exact).
+    """
+    from .. import context as _ctx
+
+    ctx = _ctx.pairhmm_context("float32")
+    f = jnp.float32
+    H, P = hap.shape
+    R = read.shape[0]
+    assert P % lane_block == 0 and R % 4 == 0, (P, R)
+
+    qm = (q & 127).astype(jnp.int32)
+    im = (iq & 127).astype(jnp.int32)
+    dm = (dq & 127).astype(jnp.int32)
+    cm = (gcp & 127).astype(jnp.int32)
+    p_mm = _m2m_arith64(im, dm)
+    ph2pr_c = _ph2pr_arith(cm)
+    p_mx = _ph2pr_arith(im)
+    p_my = _ph2pr_arith(dm)
+    distm = _ph2pr_arith(qm)
+    p_gapm = f(1.0) - ph2pr_c
+    dmatch = f(1.0) - distm
+    dmis = distm / f(3.0)
+    inity = (jnp.asarray(ctx.INITIAL_CONSTANT, f) / haplen.astype(f))[None, :]
+    hap_i = hap.astype(jnp.int32)
+    rslen2 = rslen.astype(jnp.int32)[None, :]
+    haplen2 = haplen.astype(jnp.int32)[None, :]
+    packed = jnp.stack(
+        [read.astype(f), dmatch, dmis, p_mm, p_gapm, p_mx, p_my, ph2pr_c],
+        axis=1,
+    ).reshape(R * 8, P)
+
+    grid = (P // lane_block,)
+
+    def lane_spec(length):
+        return pl.BlockSpec(
+            (length, lane_block),
+            lambda i: (jnp.int32(0), i),
+            memory_space=pltpu.VMEM,
+        )
+
+    with jax.enable_x64(False):
+        out, exp = pl.pallas_call(
+            _scaled_kernel,
+            grid=grid,
+            in_specs=[lane_spec(H), lane_spec(R * 8), lane_spec(1),
+                      lane_spec(1), lane_spec(1)],
+            out_specs=[lane_spec(1), lane_spec(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, P), jnp.float32),
+                jax.ShapeDtypeStruct((1, P), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((H, lane_block), jnp.float32),
+                pltpu.VMEM((H, lane_block), jnp.float32),
+                pltpu.VMEM((H, lane_block), jnp.float32),
+            ],
+            interpret=interpret,
+        )(hap_i, packed, inity, rslen2, haplen2)
+    return out[0], exp[0]
 
 
 _LOG2_10 = float(np.log2(10.0))

@@ -83,3 +83,49 @@ def test_cols_variant_golden():
     ok = raw > float(C.MIN_ACCEPTED)
     assert ok.sum() >= 20
     np.testing.assert_allclose(res[ok], expected[ok], atol=1e-5)
+
+
+def test_scaled_kernel_in_range_parity():
+    """Scaled-f32 kernel matches the plain kernel for in-range lanes
+    (power-of-two rescales are exact)."""
+    import golden
+    from gkl_tpu import batch as batch_mod
+    from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
+
+    cases = golden.load_pairhmm_cases()[:24]
+    packed = batch_mod.pack_pairs(
+        [c.hap for c in cases], [c.read for c in cases],
+        [(c.q, c.iq, c.dq, c.gcp) for c in cases], lane_multiple=8)
+    args = (packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+            packed.gcp, packed.haplen, packed.rslen)
+    plain = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True))
+    mant, ex = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    recon = np.asarray(mant).astype(np.float64) * np.exp2(np.asarray(ex).astype(np.float64))
+    ok = plain > 0
+    np.testing.assert_allclose(recon[ok], plain[ok], rtol=1e-6)
+
+
+def test_scaled_kernel_deep_lanes_vs_f64():
+    """Deep-underflow lanes (log10 ~ -250) match the f64 engine at 1e-4."""
+    from gkl_tpu import batch as batch_mod
+    from gkl_tpu import context as C
+    from gkl_tpu.ops.pairhmm import pairhmm_raw
+    from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, 320)]
+    reads, quals = [], []
+    for _ in range(8):
+        reads.append(bases[rng.integers(0, 4, 256)])  # random vs random: deep
+        quals.append(tuple(np.full(256, v, np.uint8) for v in (50, 50, 50, 10)))
+    packed = batch_mod.pack_pairs([hap] * 8, reads, quals, lane_multiple=8)
+    args = (packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+            packed.gcp, packed.haplen, packed.rslen)
+    mant, ex = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    res_scaled = (np.log10(np.asarray(mant).astype(np.float64))
+                  + (np.asarray(ex).astype(np.float64) - 120.0) * np.log10(2.0))
+    raw64 = np.asarray(pairhmm_raw(*args, dtype="float64"))
+    res64 = np.log10(raw64) - float(C.pairhmm_context("float64").LOG10_INITIAL_CONSTANT)
+    assert res64[:8].max() < -200  # genuinely deep
+    np.testing.assert_allclose(res_scaled[:8], res64[:8], atol=1e-4)
