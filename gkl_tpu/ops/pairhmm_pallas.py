@@ -104,30 +104,54 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         row_sum = jnp.sum((m_new + x_new) * col_valid, axis=0, keepdims=True)
         return acc + jnp.where(rslen == (r + 1), row_sum, f32(0.0))
 
+    def exponent_of(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+        return jnp.clip(((bits >> 23) & 0xFF) - 127, -126, 126)
+
+    def pow2m(d):
+        # 2^d for d <= 0, exact, flushing below ~2^-252 (immaterial terms)
+        d1 = jnp.maximum(d, -126)
+        d2 = jnp.clip(d - d1, -126, 0)
+        f1 = jax.lax.bitcast_convert_type((d1 + 127) << 23, jnp.float32)
+        f2 = jax.lax.bitcast_convert_type((d2 + 127) << 23, jnp.float32)
+        return f1 * f2
+
     def chunk_body(c, carry):
-        acc, exp_acc = carry
+        # the accumulator carries its OWN exponent: last-row sums can sit
+        # far below the DP maximum and would flush if rescaled by the
+        # state's factor
+        acc_m, e_acc, e_state = carry
+        acc_chunk = jnp.zeros_like(acc_m)
         for k in range(4):
-            acc = row_body(c * 4 + jnp.int32(k), acc)
-        # renormalise: bring the per-lane maximum magnitude back to ~1
+            acc_chunk = row_body(c * 4 + jnp.int32(k), acc_chunk)
+        e_new = jnp.maximum(e_acc, e_state)
+        acc_m = acc_m * pow2m(e_acc - e_new) + acc_chunk * pow2m(e_state - e_new)
+        ea = jnp.where(acc_m > f32(0.0), exponent_of(acc_m), 0)
+        acc_m = acc_m * jax.lax.bitcast_convert_type((127 - ea) << 23, jnp.float32)
+        # an empty accumulator must FOLLOW the state's scale — otherwise the
+        # first real contribution (which can arrive hundreds of binades
+        # below an early transient maximum) would flush against a stale
+        # high exponent
+        e_acc = jnp.where(acc_m > f32(0.0), e_new + ea, e_state)
+        # renormalise the DP state: per-lane maximum magnitude back to ~1
         m_v = m_ref[:]
         x_v = x_ref[:]
         y_v = y_ref[:]
         mx = jnp.max(jnp.maximum(m_v, jnp.maximum(x_v, y_v)), axis=0, keepdims=True)
-        mx = jnp.maximum(mx, acc)
-        bits = jax.lax.bitcast_convert_type(mx, jnp.int32)
-        e = jnp.clip(((bits >> 23) & 0xFF) - 127, -126, 126)
+        e = exponent_of(mx)
         sf = jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32)
         m_ref[:] = m_v * sf
         x_ref[:] = x_v * sf
         y_ref[:] = y_v * sf
-        return acc * sf, exp_acc + e
+        return acc_m, e_acc, e_state + e
 
-    acc, exp_acc = jax.lax.fori_loop(
+    zi = jnp.zeros((1, LP), jnp.int32)
+    acc_m, e_acc, _ = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(R // 4), chunk_body,
-        (jnp.zeros((1, LP), f32), jnp.zeros((1, LP), jnp.int32)),
+        (jnp.zeros((1, LP), f32), zi, zi),
     )
-    out_ref[:] = acc
-    exp_ref[:] = exp_acc
+    out_ref[:] = acc_m
+    exp_ref[:] = e_acc
 
 
 def _kernel(hap_ref, packed_ref, inity_ref, rslen_ref,
