@@ -113,6 +113,50 @@ def _run_chunk(hmm: PairHMM, records: list[bam_mod.BamRecord],
     )
 
 
+def sw_align_stream(
+    bam_path: str,
+    reference: np.ndarray | bytes,
+    parameters=None,
+    strategy=None,
+    *,
+    chunk_reads: int = 512,
+    limit: int | None = None,
+    threads: int | None = None,
+):
+    """Stream a BAM's reads through the Smith-Waterman engine against a
+    reference window, yielding (read_names, [SWAlignerResult]) per chunk —
+    the GATK assembly-region realignment pattern (reads re-aligned to an
+    assembled haplotype/reference via IntelSmithWaterman)."""
+    from .api_sw import OverhangStrategy, SmithWaterman, SWParameters
+
+    parameters = parameters or SWParameters(200, -150, -260, -11)
+    strategy = OverhangStrategy.SOFTCLIP if strategy is None else strategy
+    if isinstance(reference, (bytes, bytearray)):
+        reference = np.frombuffer(bytes(reference), np.uint8)
+    sw = SmithWaterman()
+
+    with open(bam_path, "rb") as fh:
+        data = fh.read()
+    payload = bam_mod.bgzf.decompress(data, threads=threads)
+    _, off = bam_mod.parse_header(payload)
+
+    batch: list[bam_mod.BamRecord] = []
+    for rec in bam_mod.parse_records(payload, off, limit=limit):
+        if rec.flag & (bam_mod.FLAG_UNMAPPED | bam_mod.FLAG_SECONDARY
+                       | bam_mod.FLAG_SUPPLEMENTARY) or len(rec.seq) == 0:
+            continue
+        batch.append(rec)
+        if len(batch) >= chunk_reads:
+            res = sw.align_batch([reference] * len(batch),
+                                 [r.seq for r in batch], parameters, strategy)
+            yield [r.name for r in batch], res
+            batch = []
+    if batch:
+        res = sw.align_batch([reference] * len(batch),
+                             [r.seq for r in batch], parameters, strategy)
+        yield [r.name for r in batch], res
+
+
 def pairhmm_bam(bam_path: str, haplotypes: Sequence[HaplotypeData],
                 **kw) -> ChunkResult:
     """Non-streaming convenience: whole BAM → one concatenated result."""

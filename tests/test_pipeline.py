@@ -70,3 +70,16 @@ def test_pairhmm_bam_convenience():
     res = pipeline.pairhmm_bam(BAM, haps, limit=16, chunk_reads=8)
     assert res.likelihoods.shape[1] == 1
     assert len(res.read_names) == res.likelihoods.shape[0] > 0
+
+
+def test_sw_align_stream():
+    _, records = bam_mod.read_bam(BAM, limit=16)
+    ref = records[0].seq  # align reads against one read's sequence window
+    chunks = list(pipeline.sw_align_stream(BAM, ref, chunk_reads=6, limit=16))
+    assert len(chunks) >= 2
+    names, results = chunks[0]
+    assert len(names) == len(results) == 6
+    # the self-alignment read gets a full-length match CIGAR
+    assert results[0].cigar == f"{len(ref)}M"
+    for r in results:
+        assert r.cigar and r.alignment_offset >= -len(ref)
