@@ -19,7 +19,7 @@ import numpy as np
 
 from . import batch as batch_mod
 from . import utils
-from .api import HaplotypeData, ReadData, _as_u8
+from .api import HaplotypeData, ReadData
 from .context import MIN_ACCEPTED
 from .ops import pdhmm as pdhmm_ops
 
