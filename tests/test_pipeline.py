@@ -83,3 +83,22 @@ def test_sw_align_stream():
     assert results[0].cigar == f"{len(ref)}M"
     for r in results:
         assert r.cigar and r.alignment_offset >= -len(ref)
+
+
+def test_bam_write_read_roundtrip(tmp_path):
+    """Record-for-record write->read equality at multiple compression levels
+    (the DeflaterIntegrationTest.java:27-99 contract without the JVM)."""
+    header, records = bam_mod.read_bam(BAM, limit=300)
+    for level in (1, 6):
+        out = str(tmp_path / f"rt{level}.bam")
+        bam_mod.write_bam(out, header, records, level=level)
+        h2, r2 = bam_mod.read_bam(out)
+        assert h2.ref_names == header.ref_names
+        assert h2.ref_lengths == header.ref_lengths
+        assert len(r2) == len(records)
+        for a, b in zip(records, r2):
+            assert a.name == b.name and a.flag == b.flag
+            assert a.ref_id == b.ref_id and a.pos == b.pos and a.mapq == b.mapq
+            assert a.cigar == b.cigar
+            np.testing.assert_array_equal(a.seq, b.seq)
+            np.testing.assert_array_equal(a.qual, b.qual)
