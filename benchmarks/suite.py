@@ -103,29 +103,42 @@ def bench_pdhmm(on_tpu, quick):
 
     R, H, P, iters = (32, 64, 256, 5) if quick or not on_tpu else (128, 224, 2048, 40)
     hap, read, q, iq, dq, gcp, haplen, rslen = _gatk_like_batch(R, H, P)
-    rng = np.random.default_rng(1)
-    hap_pd = np.zeros((H, P), np.uint8)
-    for p in range(P):
-        j = rng.integers(4, H - 8)
-        hap_pd[j, p] = 2
-        hap_pd[j + 3, p] = 4
-    states = pdhmm_ops.column_states(hap_pd)
-    args = [jax.device_put(a) for a in (hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen)]
 
     if on_tpu:
         from gkl_tpu.ops.pdhmm_pallas import pdhmm_raw_pallas as fn
     else:
         fn = functools.partial(pdhmm_ops.pdhmm_raw, dtype="float32")
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(a0, a1, a2, a3, a4, a5, a6, a7, a8, a9, n):
-        def body(i, acc):
-            return acc + fn(a0, a1, a2, a3, a4 + (i % 3).astype(jnp.uint8), a5, a6, a7, a8, a9)
+    rng = np.random.default_rng(1)
+    scenarios = {}
+    # aligned PD events: the realistic read x haplotype cross-product case
+    # (the API groups lanes by haplotype, so event columns align per block)
+    pd_a = np.zeros((H, P), np.uint8)
+    for j in (H // 4, 2 * H // 3):
+        pd_a[j, :] = 2
+        pd_a[min(j + 3, H - 1), :] = 4
+    scenarios["pdhmm_dp_cells_per_sec"] = pd_a
+    # scattered events: worst case for the fast/slow column split
+    pd_s = np.zeros((H, P), np.uint8)
+    for p in range(P):
+        j = rng.integers(4, H - 8)
+        pd_s[j, p] = 2
+        pd_s[j + 3, p] = 4
+    scenarios["pdhmm_dp_cells_per_sec_scattered"] = pd_s
 
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.zeros((P,), jnp.float32)).sum()
+    for metric, hap_pd in scenarios.items():
+        states = pdhmm_ops.column_states(hap_pd)
+        args = [jax.device_put(a) for a in (hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen)]
 
-    per = _device_loop_time(loop, args, iters)
-    _emit("pdhmm_dp_cells_per_sec", R * H * P / per, "cells/s", shape=[R, H, P])
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(a0, a1, a2, a3, a4, a5, a6, a7, a8, a9, n, fn=fn):
+            def body(i, acc):
+                return acc + fn(a0, a1, a2, a3, a4 + (i % 3).astype(jnp.uint8), a5, a6, a7, a8, a9)
+
+            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.zeros((P,), jnp.float32)).sum()
+
+        per = _device_loop_time(loop, args, iters)
+        _emit(metric, R * H * P / per, "cells/s", shape=[R, H, P])
 
 
 def bench_sw(on_tpu, quick):
