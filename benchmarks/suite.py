@@ -158,7 +158,9 @@ def bench_sw(on_tpu, quick):
     altlen = np.full(P, M, np.int32)
     args = [jax.device_put(a) for a in (ref, alt, reflen, altlen)]
 
-    if on_tpu:
+    from gkl_tpu.ops.sw_pallas import sw_pallas_fits
+
+    if on_tpu and P % 128 == 0 and M % 2 == 0 and sw_pallas_fits(N, M):
         from gkl_tpu.ops.sw_pallas import sw_forward_pallas
 
         def fwd(ref, alt, reflen, altlen):
