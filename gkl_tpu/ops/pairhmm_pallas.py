@@ -395,21 +395,23 @@ def _jac_lookup_2level(delta):
 
 
 def _m2m_arith64(im, dm):
-    """set_mm_prob, bit-exact vs the float context table (Context.h:74-89)
-    at a fraction of a one-hot 2-D contraction's bandwidth:
+    """set_mm_prob to ~1 ulp of the float context table (Context.h:74-89)
+    with NO gathers and NO emulated-f64 transcendentals:
 
-    * the Jacobian correction only depends on ``mx - mn`` — a 128-entry
+    * the Jacobian correction only depends on ``mx - mn`` — a two-level
       one-hot lookup of the exact f32 table entries;
     * ``ls = big + jac`` reproduces the table's f32 rounding;
-    * ``1 - 10^ls`` evaluates as ``-expm1(ls*ln10)`` — relatively accurate
-      with no cancellation — in f64 (one emulated transcendental; f32 expm1
-      deviates up to 2e-5 at near-cancellation entries);
+    * ``1 - 10^ls``: exact range reduction ``u = ls*ln10 = m*ln2 + v`` with
+      ``|v| <= ln2/2``; the cancellation zone (p -> 1) lies entirely inside
+      ``m == 0``, where a 7-term expm1 polynomial is *relatively* accurate;
+      for ``m != 0``, ``1 - 2^m e^v`` has no cancellation (``1-p >= 0.29``).
+      Grid-validated at <= 1.7e-7 relative vs the exact table (the naive
+      f32 expm1 deviates 2e-5; emulated f64 costs ~0.2 ms per call);
     * the final ``10^(w * 0.434294)`` with w = log1p(-p) is
       ``(1-p) * e^((k-1)w)`` for ``k = 0.434294*ln10 = 1 - 1.04e-6``,
       expanded to first order (quadratic term <= 3e-9).
     """
     f32 = jnp.float32
-    f64 = jnp.float64
     mx = jnp.maximum(im, dm)
     mn = jnp.minimum(im, dm)
     small = f32(-0.1) * mx.astype(f32)
@@ -417,10 +419,22 @@ def _m2m_arith64(im, dm):
     diff = big - small  # >= 0
     jac = _jac_lookup_2level(mx - mn)
     ls = jnp.where(diff >= f32(8.0), big, big + jac)
-    one_minus_p = jnp.clip(-jnp.expm1(ls.astype(f64) * f64(_LN10)), f64(0.0), f64(1.0))
-    w = jnp.log(jnp.maximum(one_minus_p, f64(1e-300)))
-    corr = f64(1.0) + f64(0.434294 * _LN10 - 1.0) * w
-    return jnp.where(one_minus_p > f64(0.0), one_minus_p * corr, f64(0.0)).astype(f32)
+    u = ls * f32(_LN10)
+    m = jnp.round(u * f32(1.4426950408889634))  # 1/ln2
+    mi = m.astype(jnp.int32)
+    LN2_HI = f32(0.693359375)  # 12 trailing zero bits: m*LN2_HI is exact
+    LN2_LO = f32(-2.12194440e-4)
+    v = (u - m * LN2_HI) - m * LN2_LO
+    poly = f32(1.0) + v * (f32(1 / 2) + v * (f32(1 / 6) + v * (f32(1 / 24)
+           + v * (f32(1 / 120) + v * (f32(1 / 720) + v * f32(1 / 5040))))))
+    em1 = v * poly  # expm1(v), relative accuracy ~1 ulp on |v| <= 0.347
+    pow2 = jax.lax.bitcast_convert_type(
+        jnp.clip(mi + 127, 1, 254) << 23, jnp.float32)
+    one_minus_p = jnp.where(mi == 0, -em1, f32(1.0) - pow2 * (f32(1.0) + em1))
+    one_minus_p = jnp.clip(one_minus_p, f32(0.0), f32(1.0))
+    w = jnp.log(jnp.maximum(one_minus_p, f32(1e-38)))
+    corr = f32(1.0) + f32(0.434294 * _LN10 - 1.0) * w
+    return jnp.where(one_minus_p > f32(0.0), one_minus_p * corr, f32(0.0))
 
 
 @functools.lru_cache(maxsize=2)

@@ -120,7 +120,21 @@ def _m2m_pdhmm_arith(im, dm):
     big = f64(-0.1) * mn.astype(f64)
     diff = big - small
     ls = jnp.where(diff >= f64(8.0), big, big + jac)
-    return jnp.clip(-jnp.expm1(ls * f64(_LN10)), f64(0.0), f64(1.0)).astype(f32)
+    # 1 - 10^ls via exact range reduction u = m*ln2 + v (|v| <= ln2/2): the
+    # cancellation zone (p -> 1) is entirely m == 0, where the f32 expm1
+    # polynomial is relatively accurate; m != 0 has 1-p >= 0.29.  The f64
+    # part is 3 cheap mul/adds — no emulated-f64 transcendental (~0.2 ms).
+    u = ls * f64(_LN10)
+    m = jnp.round(u * f64(1.4426950408889634))
+    mi = m.astype(jnp.int32)
+    v = (u - m * f64(np.log(2.0))).astype(f32)
+    poly = f32(1.0) + v * (f32(1 / 2) + v * (f32(1 / 6) + v * (f32(1 / 24)
+           + v * (f32(1 / 120) + v * (f32(1 / 720) + v * f32(1 / 5040))))))
+    em1 = v * poly
+    pow2 = jax.lax.bitcast_convert_type(
+        jnp.clip(mi + 127, 1, 254) << 23, jnp.float32)
+    one_minus_p = jnp.where(mi == 0, -em1, f32(1.0) - pow2 * (f32(1.0) + em1))
+    return jnp.clip(one_minus_p, f32(0.0), f32(1.0))
 
 
 def _onehot_gather_256(table, idx):
