@@ -1,0 +1,79 @@
+"""Cross-engine fuzz: Pallas kernels vs jnp engines over random shape
+buckets and length distributions (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from gkl_tpu.ops import pdhmm as pdhmm_ops
+from gkl_tpu.ops.pairhmm import pairhmm_raw
+from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas
+from gkl_tpu.ops.pairhmm_pallas_cols import pairhmm_raw_pallas_cols
+from gkl_tpu.ops.pdhmm_pallas import pdhmm_raw_pallas
+from gkl_tpu.ops.sw import sw_forward
+from gkl_tpu.ops.sw_pallas import sw_forward_pallas
+
+
+def _pairhmm_batch(rng, R, H, P):
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    hap = bases[rng.integers(0, 5, (H, P))]
+    read = bases[rng.integers(0, 5, (R, P))]
+    # half the lanes: read is a mutated hap prefix (likelihood in range)
+    k = min(R, H)
+    read[:k, ::2] = hap[:k, ::2]
+    q = rng.integers(1, 60, (R, P)).astype(np.uint8)
+    iq = rng.integers(1, 60, (R, P)).astype(np.uint8)
+    dq = rng.integers(1, 60, (R, P)).astype(np.uint8)
+    gcp = rng.integers(5, 30, (R, P)).astype(np.uint8)
+    haplen = rng.integers(2, H + 1, P).astype(np.int32)
+    rslen = rng.integers(2, R + 1, P).astype(np.int32)
+    return hap, read, q, iq, dq, gcp, haplen, rslen
+
+
+@pytest.mark.parametrize("seed,R,H", [(0, 8, 16), (1, 16, 8), (2, 24, 32), (3, 32, 48)])
+def test_pairhmm_kernels_agree(seed, R, H):
+    rng = np.random.default_rng(seed)
+    args = _pairhmm_batch(rng, R, H, 16)
+    ref = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    rows = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True))
+    cols = np.asarray(pairhmm_raw_pallas_cols(*args, lane_block=8, interpret=True))
+    ok = ref > 0
+    np.testing.assert_allclose(rows[ok], ref[ok], rtol=3e-5)
+    np.testing.assert_allclose(cols[ok], ref[ok], rtol=3e-5)
+
+
+@pytest.mark.parametrize("seed,R,H", [(0, 8, 16), (1, 16, 24), (2, 32, 32)])
+def test_pdhmm_kernels_agree(seed, R, H):
+    rng = np.random.default_rng(100 + seed)
+    hap, read, q, iq, dq, gcp, haplen, rslen = _pairhmm_batch(rng, R, H, 16)
+    # random PD bytes with valid DEL_START/DEL_END pairing + SNP bits
+    hap_pd = np.zeros((H, 16), np.uint8)
+    for p in range(16):
+        j = int(rng.integers(0, max(1, H - 6)))
+        hap_pd[j, p] = 2
+        hap_pd[j + int(rng.integers(1, 4)), p] = 4
+        s = int(rng.integers(0, H))
+        hap_pd[s, p] |= 1 | int(rng.choice([8, 16, 32, 64]))
+    states = pdhmm_ops.column_states(hap_pd)
+    args = (hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen)
+    ref = np.asarray(pdhmm_ops.pdhmm_raw(*args, dtype="float32"))
+    pal = np.asarray(pdhmm_raw_pallas(*args, lane_block=8, interpret=True))
+    ok = ref > 0
+    np.testing.assert_allclose(pal[ok], ref[ok], rtol=3e-5)
+
+
+@pytest.mark.parametrize("seed,N,M,ib", [(0, 8, 16, False), (1, 16, 8, True), (2, 40, 24, False)])
+def test_sw_kernels_agree(seed, N, M, ib):
+    rng = np.random.default_rng(200 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rng.integers(0, 4, (N, 16))]
+    alt = bases[rng.integers(0, 4, (M, 16))]
+    k = min(N, M)
+    alt[:k, ::2] = ref[:k, ::2]
+    reflen = rng.integers(1, N + 1, 16).astype(np.int32)
+    altlen = rng.integers(1, M + 1, 16).astype(np.int32)
+    a = sw_forward(ref, alt, reflen, altlen, 200, -150, -260, -11,
+                   indel_boundary=ib, pack_bt=True)
+    b = sw_forward_pallas(ref, alt, reflen, altlen, 200, -150, -260, -11,
+                          indel_boundary=ib, lane_block=8, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
