@@ -78,9 +78,18 @@ class PairHMM:
     ``use_double_precision=True`` everything runs in float64.
     """
 
-    def __init__(self, args: PairHMMNativeArguments | None = None, *, lane_multiple: int | None = None):
+    def __init__(self, args: PairHMMNativeArguments | None = None, *,
+                 lane_multiple: int | None = None, mesh=None):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a ``dp`` axis;
+        batches shard across it lane-wise (the OpenMP-over-pairs analogue,
+        see ``gkl_tpu.parallel``).  The f32 jnp engine runs SPMD; lane
+        counts pad to a multiple of the mesh size."""
         self.args = args or PairHMMNativeArguments()
         self._lane_multiple = lane_multiple
+        self.mesh = mesh
+        if mesh is not None and lane_multiple is None:
+            # lanes must split evenly across dp shards
+            self._lane_multiple = 8 * mesh.size
 
     def initialize(self, args: PairHMMNativeArguments) -> None:
         self.args = args
@@ -122,6 +131,12 @@ class PairHMM:
 
     def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
         H, R = packed.hap.shape[0], packed.read.shape[0]
+        if self.mesh is not None and dtype == "float32":
+            from .parallel import pairhmm_raw_sharded
+
+            with self.mesh:
+                raw = pairhmm_raw_sharded(self.mesh, packed, dtype="float32")
+            return np.asarray(raw)[: packed.n_real]
         if dtype == "float32" and self._use_pallas(0):
             if H <= self.PALLAS_MAX_HAP:
                 from .ops import pairhmm_pallas

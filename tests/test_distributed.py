@@ -53,3 +53,21 @@ def test_pairhmm_variant_aliases():
 
     assert issubclass(PairHMMOMP, PairHMM)
     assert issubclass(PairHMMFpga, PairHMM)
+
+
+def test_pairhmm_api_with_mesh():
+    """PairHMM(mesh=...) shards batches across the dp mesh transparently and
+    matches single-device results (incl. the rescue chain)."""
+    import golden
+    from gkl_tpu import HaplotypeData, PairHMM, ReadData
+
+    mesh = parallel.global_mesh()
+    cases = golden.load_pairhmm_cases()[:12]
+    reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [HaplotypeData(c.hap) for c in cases]
+    sharded = PairHMM(mesh=mesh).compute_likelihoods(reads, haps)
+    single = PairHMM().compute_likelihoods(reads, haps)
+    np.testing.assert_allclose(sharded, single, atol=1e-9)
+    expected = np.array([c.expected for c in cases])
+    np.testing.assert_allclose(
+        sharded.reshape(12, 12).diagonal(), expected, atol=1e-5)
