@@ -75,9 +75,15 @@ class PDHMMNativeArguments:
 
 
 class PDHMM:
-    def __init__(self, args: PDHMMNativeArguments | None = None, *, lane_multiple: int | None = None):
+    def __init__(self, args: PDHMMNativeArguments | None = None, *,
+                 lane_multiple: int | None = None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis;
+        float batches shard lane-wise across it (see ``gkl_tpu.parallel``)."""
         self.args = args or PDHMMNativeArguments()
         self._lane_multiple = lane_multiple
+        self.mesh = mesh
+        if mesh is not None and lane_multiple is None:
+            self._lane_multiple = 8 * mesh.size
 
     def initialize(self, args: PDHMMNativeArguments) -> None:
         self.args = args
@@ -116,7 +122,19 @@ class PDHMM:
             and __import__("os").environ.get("GKL_TPU_PALLAS") != "0"
         )
         with scope:
-            if use_pallas:
+            if self.mesh is not None and dtype == "float32" and boost_row is None:
+                from . import parallel
+                from .batch import PackedPairs
+
+                packed = PackedPairs(hap, read, q, iq, dq, gcp,
+                                     haplen.astype(np.int32),
+                                     rslen.astype(np.int32), hap.shape[1])
+                with self.mesh:
+                    raw = np.asarray(
+                        parallel.pdhmm_raw_sharded(self.mesh, packed, hap_pd,
+                                                   states, dtype="float32")
+                    )
+            elif use_pallas:
                 from .ops import pdhmm_pallas
 
                 raw = np.asarray(

@@ -62,8 +62,14 @@ def _as_seq(x) -> np.ndarray:
 
 
 class SmithWaterman:
-    def __init__(self, *, lane_multiple: int | None = None):
+    def __init__(self, *, lane_multiple: int | None = None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis; the
+        score/backtrack DP shards lane-wise across it and each host fetches
+        only its backtrack shard for the CIGAR walk."""
         self._lane_multiple = lane_multiple
+        self.mesh = mesh
+        if mesh is not None and lane_multiple is None:
+            self._lane_multiple = 8 * mesh.size
         self._native = native_lib.load("gkl_sw_runtime")
         if self._native is not None:
             u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -165,7 +171,19 @@ class SmithWaterman:
                 altlen[c] = len(alts[k])
 
             indel_boundary = strategy in (OverhangStrategy.INDEL, OverhangStrategy.LEADING_INDEL)
-            if self._use_pallas(N, M, P):
+            if self.mesh is not None:
+                from . import parallel
+
+                with self.mesh:
+                    bt, lastrow, lastcol = parallel.sw_forward_sharded(
+                        self.mesh, ref_a, alt_a, reflen, altlen, parameters,
+                        indel_boundary=indel_boundary,
+                    )
+                # unsharded path below packs 2 codes/byte; the sharded jnp
+                # engine returns unpacked codes — pack on host for the walk
+                bt = np.ascontiguousarray(np.asarray(bt))
+                bt = bt[:, :, 0::2] | (bt[:, :, 1::2] << 4)
+            elif self._use_pallas(N, M, P):
                 from .ops import sw_pallas
 
                 bt, lastrow, lastcol = sw_pallas.sw_forward_pallas(

@@ -71,3 +71,40 @@ def test_pairhmm_api_with_mesh():
     expected = np.array([c.expected for c in cases])
     np.testing.assert_allclose(
         sharded.reshape(12, 12).diagonal(), expected, atol=1e-5)
+
+
+def test_pdhmm_api_with_mesh():
+    import golden
+    from gkl_tpu.api import ReadData
+    from gkl_tpu.api_pdhmm import PDHaplotypeData, PDHMM
+
+    mesh = parallel.global_mesh()
+    cases = golden.load_pdhmm_cases("pdhmm_syn_199_68_51.txt")[:6]
+    reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [PDHaplotypeData(c.hap, haplotype_pdbases=c.hap_pd) for c in cases]
+    sharded = PDHMM(mesh=mesh).compute_likelihoods(reads, haps)
+    single = PDHMM().compute_likelihoods(reads, haps)
+    np.testing.assert_allclose(sharded, single, atol=1e-9)
+    expected = np.array([c.expected for c in cases])
+    np.testing.assert_allclose(sharded.reshape(6, 6).diagonal(), expected, atol=1e-4)
+
+
+def test_sw_api_with_mesh():
+    from gkl_tpu.api_sw import OverhangStrategy, SmithWaterman, SWParameters
+
+    mesh = parallel.global_mesh()
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    refs, alts = [], []
+    for _ in range(12):
+        n = int(rng.integers(10, 40))
+        r = bases[rng.integers(0, 4, n)]
+        a = r.copy()
+        a[rng.integers(0, n)] = bases[rng.integers(0, 4)]
+        refs.append(r)
+        alts.append(a)
+    params = SWParameters(200, -150, -260, -11)
+    got = SmithWaterman(mesh=mesh).align_batch(refs, alts, params, OverhangStrategy.SOFTCLIP)
+    want = SmithWaterman().align_batch(refs, alts, params, OverhangStrategy.SOFTCLIP)
+    assert [(g.cigar, g.alignment_offset) for g in got] == [
+        (w.cigar, w.alignment_offset) for w in want]
