@@ -179,10 +179,10 @@ class SmithWaterman:
                         self.mesh, ref_a, alt_a, reflen, altlen, parameters,
                         indel_boundary=indel_boundary,
                     )
-                # unsharded path below packs 2 codes/byte; the sharded jnp
-                # engine returns unpacked codes — pack on host for the walk
+                # unsharded path below packs 2 codes/byte along rows; the
+                # sharded jnp engine returns unpacked codes — pack on host
                 bt = np.ascontiguousarray(np.asarray(bt))
-                bt = bt[:, :, 0::2] | (bt[:, :, 1::2] << 4)
+                bt = bt[:, 0::2, :] | (bt[:, 1::2, :] << 4)
             elif self._use_pallas(N, M, P):
                 from .ops import sw_pallas
 
@@ -207,14 +207,14 @@ class SmithWaterman:
                     indel_boundary=indel_boundary,
                     pack_bt=True,  # halves the O(N*M) device->host transfer
                 )
-            bt = np.ascontiguousarray(np.asarray(bt))  # (P, N, M//2) packed
+            bt = np.ascontiguousarray(np.asarray(bt))  # (P, N//2, M) row-packed
             lastrow = np.asarray(lastrow).astype(np.int32, copy=False)
             lastcol = np.ascontiguousarray(np.asarray(lastcol)).astype(np.int32, copy=False)
 
             for c, k in enumerate(idxs):
                 n, m = int(reflen[c]), int(altlen[c])
                 out[k] = self._postprocess(
-                    bt[c], n, m, M // 2, np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
+                    bt[c], n, m, M, np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
                 )
 
         for k in scalar_idx:
@@ -231,7 +231,8 @@ class SmithWaterman:
 
     # ------------------------------------------------------------------
     def _postprocess(self, bt_packed, n, m, stride, lastrow, lastcol, strategy) -> SWAlignerResult:
-        """``bt_packed`` is the lane's (N, stride) 4-bit-packed backtrack."""
+        """``bt_packed`` is the lane's (N//2, stride) row-pair-packed
+        backtrack (rows 2k/2k+1 in the low/high nibble)."""
         if self._native is not None:
             cap = 2 * max(n, m) + 16
             buf = ctypes.create_string_buffer(cap)
@@ -253,14 +254,15 @@ class SmithWaterman:
                 ctypes.byref(score),
             )
             return SWAlignerResult(buf.value.decode("ascii"), int(offset.value))
-        # Python fallback: unpack nibbles, then walk
-        rows = bt_packed[:n]
-        codes = np.empty((n, 2 * stride), np.uint8)
-        codes[:, 0::2] = rows & 0xF
-        codes[:, 1::2] = rows >> 4
+        # Python fallback: unpack row nibbles, then walk
+        nrows_packed = (n + 1) // 2
+        rows = bt_packed[:nrows_packed]
+        codes = np.empty((2 * nrows_packed, stride), np.uint8)
+        codes[0::2] = rows & 0xF
+        codes[1::2] = rows >> 4
         _, max_i, max_j = sw_ref.select_max(lastrow[:m], lastcol[:n], n, m, int(strategy))
         bt1 = np.zeros((n + 1, m + 1), np.uint8)
-        bt1[1:, 1:] = codes[:, :m]
+        bt1[1:, 1:] = codes[:n, :m]
         cigar, offset = sw_ref.cigar_from_btrack(bt1, n, m, max_i, max_j, int(strategy))
         return SWAlignerResult(cigar, offset)
 

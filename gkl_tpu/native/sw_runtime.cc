@@ -74,18 +74,17 @@ MaxSel select_max(const int32_t* lastrow, const int32_t* lastcol, int n, int m,
 }
 
 // Backtrack walk + run-length encoding + overhang tails.  `bt` is row-major
-// with `stride` BYTES per row.  Unpacked: cell (i, j) at
+// with `stride` BYTES per (packed) row.  Unpacked: cell (i, j) at
 // bt[(i-1)*stride + (j-1)].  Packed (`packed` != 0): two 4-bit codes per
-// byte along columns — column j-1 lives in byte (j-1)/2, low nibble for
-// even column index, high nibble for odd.
+// byte along ROWS — row i-1 lives in packed row (i-1)/2, low nibble for
+// even row index, high nibble for odd.
 int walk_cigar(const uint8_t* bt, int n, int m, long stride, int packed,
                int max_i, int max_j, int strategy, char* cigar_out,
                int cigar_cap, int32_t* offset_out) {
   auto code_at = [&](int i, int j) -> int {
-    const uint8_t* row = bt + (size_t)(i - 1) * (size_t)stride;
-    if (!packed) return row[j - 1];
-    uint8_t b = row[(j - 1) >> 1];
-    return ((j - 1) & 1) ? (b >> 4) : (b & 0xF);
+    if (!packed) return bt[(size_t)(i - 1) * (size_t)stride + (j - 1)];
+    uint8_t b = bt[(size_t)((i - 1) >> 1) * (size_t)stride + (j - 1)];
+    return ((i - 1) & 1) ? (b >> 4) : (b & 0xF);
   };
   std::vector<int32_t> ops;
   ops.reserve(2 * (n + m) + 4);
@@ -220,8 +219,8 @@ int sw_postprocess(const uint8_t* bt, int n, int m, const int32_t* lastrow,
                     cigar_out, cigar_cap, offset_out);
 }
 
-// Same, for a 4-bit-packed backtrack with `stride` bytes per row (the
-// device's padded column bucket / 2).
+// Same, for a row-pair 4-bit-packed backtrack with `stride` bytes per
+// packed row (the device's padded column bucket).
 int sw_postprocess_packed(const uint8_t* bt, int n, int m, long stride,
                           const int32_t* lastrow, const int32_t* lastcol,
                           int strategy, char* cigar_out, int cigar_cap,

@@ -49,22 +49,21 @@ def sw_forward(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, 
       match/mismatch/gap_open/gap_extend: int32 scalars.
       indel_boundary: True for INDEL / LEADING_INDEL overhang strategies
         (boundary rows seeded with open+(k-1)*extend, PairWiseSW.h:212-221).
-      pack_bt: pack two 4-bit backtrack codes per byte along the column
-        axis (halves the O(N*M) device->host transfer, the same packing
-        idea as the reference's 2-cells-per-int16 streaming,
-        PairWiseSW.h:55-60).
+      pack_bt: pack two 4-bit backtrack codes per byte along the row axis
+        (halves the O(N*M) device->host transfer, the same packing idea as
+        the reference's 2-cells-per-int16 streaming, PairWiseSW.h:55-60).
 
     Returns:
       bt:      (P, N, M) uint8 backtrack codes (cell (i, j) at [p, i-1, j-1]),
-               or (P, N, M//2) with codes for columns (2k, 2k+1) in the low /
-               high nibble of byte k when ``pack_bt``.
+               or (P, N//2, M) with codes for rows (2k, 2k+1) in the low /
+               high nibble when ``pack_bt``.
       lastrow: (M, P) int32 — H(reflen[p], j) per lane.
       lastcol: (N, P) int32 — H(i, altlen[p]) per lane.
     """
     N, P = ref.shape
     M = alt.shape[0]
     if pack_bt:
-        assert M % 2 == 0, "packed backtrack requires an even column bucket"
+        assert N % 2 == 0, "packed backtrack requires an even row bucket"
     i32 = jnp.int32
     w_match = jnp.asarray(match, i32)
     w_mismatch = jnp.asarray(mismatch, i32)
@@ -128,8 +127,6 @@ def sw_forward(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, 
             | jnp.where(iext, INSERT_EXT, 0)
             | jnp.where(dext, DELETE_EXT, 0)
         ).astype(jnp.uint8)
-        if pack_bt:
-            bt = bt[0::2] | (bt[1::2] << 4)  # column 2k low nibble, 2k+1 high
 
         lastcol_i = jnp.sum(h_new * lastcol_onehot, axis=0).astype(i32)  # (P,)
         lastrow = jnp.where((i == reflen)[None, :], h_new, lastrow)
@@ -141,5 +138,8 @@ def sw_forward(ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend, 
     (h_last, _, lastrow), (bt, lastcol) = jax.lax.scan(
         row_step, (h_prev0, f_prev0, lastrow0), xs
     )
+    if pack_bt:
+        # rows 2k / 2k+1 in the low / high nibble
+        bt = bt[0::2] | (bt[1::2] << 4)  # (N//2, M, P)
     # bt: (N, M, P) -> (P, N, M) for contiguous per-lane host walks
     return jnp.transpose(bt, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0))

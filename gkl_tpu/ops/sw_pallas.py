@@ -36,7 +36,7 @@ _SCAN_LOW = -(2**30)
 
 def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
             wm_ref, wx_ref, wo_ref, we_ref,
-            bt_ref, lastrow_ref, lastcol_ref, h_ref, f_ref):
+            bt_ref, lastrow_ref, lastcol_ref, h_ref, f_ref, prev_bt_ref):
     M, LP = h_ref.shape
     N = ref_ref.shape[0]
     i32 = jnp.int32
@@ -124,8 +124,19 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
             jnp.where(f_gt, DELETE, jnp.where(e_gt, INSERT, 0))
             | jnp.where(iext, INSERT_EXT, 0)
             | jnp.where(dext, DELETE_EXT, 0)
-        ).astype(jnp.uint8)
-        bt_ref[pl.ds(i - 1, 1), :, :] = bt[None]
+        )  # i32; Mosaic cannot shift i8 vectors, so nibble math stays i32
+
+        # row-pair nibble packing in VMEM: halves the backtrack HBM write
+        # and removes the separate XLA pack pass (~40% of the old call)
+        @pl.when(i % 2 == 1)
+        def _stash():
+            prev_bt_ref[:] = bt.astype(jnp.uint8)
+
+        @pl.when(i % 2 == 0)
+        def _emit():
+            bt_ref[pl.ds(i // 2 - 1, 1), :, :] = (
+                prev_bt_ref[:].astype(jnp.int32) | (bt << 4)
+            ).astype(jnp.uint8)[None]
 
         lc = jnp.max(jnp.where(lastcol_onehot, h_new, scan_low), axis=0, keepdims=True)
         lastcol_ref[pl.ds(i - 1, 1), :] = lc
@@ -148,11 +159,12 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
                       gap_extend, *, indel_boundary: bool,
                       lane_block: int = LANE_BLOCK, interpret: bool = False):
     """Same contract as ``sw.sw_forward(..., pack_bt=True)``: returns
-    (bt_packed (P, N, M//2) uint8, lastrow (M, P) int32, lastcol (N, P) int32).
+    (bt row-pair-packed (P, N//2, M) uint8 — rows 2k/2k+1 in the low/high
+    nibble — lastrow (M, P) int32, lastcol (N, P) int32).
     """
     N, P = ref.shape
     M = alt.shape[0]
-    assert M % 2 == 0 and P % lane_block == 0
+    assert N % 2 == 0 and P % lane_block == 0
     i32 = jnp.int32
 
     ref_i = ref.astype(i32)
@@ -186,12 +198,12 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
         lane_spec(1),  # we
     ]
     out_specs = [
-        lane_spec(N, M),  # bt (unpacked u8)
-        lane_spec(M),     # lastrow
-        lane_spec(N),     # lastcol
+        lane_spec(N // 2, M),  # bt (row-pair nibble-packed u8)
+        lane_spec(M),          # lastrow
+        lane_spec(N),          # lastcol
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((N, M, P), jnp.uint8),
+        jax.ShapeDtypeStruct((N // 2, M, P), jnp.uint8),
         jax.ShapeDtypeStruct((M, P), i32),
         jax.ShapeDtypeStruct((N, P), i32),
     ]
@@ -203,7 +215,8 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
-            scratch_shapes=[pltpu.VMEM((M, lane_block), i32)] * 2,
+            scratch_shapes=[pltpu.VMEM((M, lane_block), i32)] * 2
+            + [pltpu.VMEM((M, lane_block), jnp.uint8)],
             cost_estimate=pl.CostEstimate(
                 flops=int(30 * N * M) * P,
                 bytes_accessed=int(N * M) * P,
@@ -212,7 +225,6 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
             interpret=interpret,
         )(ref_i, alt_i, reflen2, altlen2, wm, wx, wo, we)
 
-    # nibble-pack + lane-major transposes as one fused XLA pass (matching
-    # sw.sw_forward's (P, N, M/2) / (M, P) / (P, N) output contract)
-    bt_packed = bt[:, 0::2, :] | (bt[:, 1::2, :] << 4)  # (N, M/2, P)
-    return jnp.transpose(bt_packed, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0))
+    # lane-major transposes (matching sw.sw_forward's row-packed
+    # (P, N/2, M) / (M, P) / (P, N) output contract)
+    return jnp.transpose(bt, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0))
