@@ -147,7 +147,7 @@ def bench_sw(on_tpu, quick):
 
     from gkl_tpu.ops import sw as sw_ops
 
-    N, M, P, iters = (64, 64, 64, 5) if quick or not on_tpu else (160, 160, 512, 20)
+    N, M, P, iters = (64, 64, 64, 5) if quick or not on_tpu else (160, 160, 512, 80)
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", np.uint8)
     ref = bases[rng.integers(0, 4, size=(N, P))]
