@@ -313,6 +313,7 @@ def pairhmm_raw_pallas_scaled(hap, read, q, iq, dq, gcp, haplen, rslen,
 
 
 _LOG2_10 = float(np.log2(10.0))
+_LN10 = float(np.log(10.0))
 
 
 def _ph2pr_arith(qual_i32):
@@ -351,21 +352,6 @@ def _match_to_match_arith(im, dm):
     return jnp.exp2(m2m_log10 * f(_LOG2_10))
 
 
-def _ph2pr_arith64(qual_i32):
-    """``10^(-q/10)`` in f64, cast f32 (<= 2 ulp of the f32 powf table).
-
-    The one-hot MXU lookup is exact but bandwidth-bound: its materialised
-    one-hot matrices dominate the whole forward call.  O(R*P) emulated-f64
-    arithmetic is far cheaper.
-    """
-    f64 = jnp.float64
-    return jnp.exp2(qual_i32.astype(f64) * f64(-_LOG2_10 / 10.0)).astype(jnp.float32)
-
-
-_LN10 = float(np.log(10.0))
-
-
-@functools.lru_cache(maxsize=1)
 def _jac_by_delta_2d() -> np.ndarray:
     """The 128 reachable f32 Jacobian-table entries as an (8, 16) grid.
 

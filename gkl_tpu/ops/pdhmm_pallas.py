@@ -56,8 +56,6 @@ _READ_BIT_PAIRS = ((65, 8), (97, 8), (67, 16), (99, 16), (71, 32), (103, 32), (8
 
 _ST_NORMAL, _ST_INSIDE, _ST_AFTER = 0, 1, 2
 
-_LOG2_10 = float(np.log2(10.0))
-_INV_LN10 = 1.0 / float(np.log(10.0))  # exact constant (pdhmm/MathUtils.cc:38-39)
 
 
 _LN10 = float(np.log(10.0))
@@ -135,25 +133,6 @@ def _m2m_pdhmm_arith(im, dm):
         jnp.clip(mi + 127, 1, 254) << 23, jnp.float32)
     one_minus_p = jnp.where(mi == 0, -em1, f32(1.0) - pow2 * (f32(1.0) + em1))
     return jnp.clip(one_minus_p, f32(0.0), f32(1.0))
-
-
-def _onehot_gather_256(table, idx):
-    """Exact 255-entry table lookup as a one-hot MXU contraction.
-
-    TPU vector gathers route through the scalar core (~6 ns/element — they
-    dominated this kernel's wall clock before this change); a one-hot f32
-    matmul at HIGHEST precision reproduces table values bit-exactly.
-    """
-    K = table.shape[0]
-    oh = (idx.reshape(-1, 1) == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    v = jax.lax.dot_general(
-        oh,
-        table.reshape(K, 1),
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    return v.reshape(idx.shape)
 
 
 def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,

@@ -8,9 +8,9 @@ Same recurrence and backtrack codes as ``ops/sw.py`` (semantics from
   ``E[j] = max(g[j], E[j-1] + w)`` has a CONSTANT increment ``w =
   max(open, extend)``, so the tropical Hillis-Steele scan is one roll, one
   scalar add and one max per level;
-* backtrack codes store as uint8 rows into a (N, M, LANE_BLOCK) VMEM output
-  block (nibble-packing and the (P, N, M/2) transpose run as one fused XLA
-  pass after the kernel).
+* backtrack row pairs nibble-pack in VMEM before the HBM store (rows
+  2k/2k+1 in the low/high nibble), halving the O(N*M) write that dominated
+  the call; only the lane-major transpose runs as an XLA pass afterwards.
 
 The VMEM budget caps the padded problem at roughly N*M <= 96k cells per
 lane block (e.g. 320x256); the caller falls back to the jnp scan kernel
