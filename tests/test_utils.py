@@ -149,3 +149,15 @@ def test_path_to_test_resource():
     for bad in ("../etc/passwd", "a/b.txt", ".hidden", "x;y"):
         with pytest.raises(ValueError):
             utils.path_to_test_resource(bad)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """jax.profiler trace context produces a trace directory."""
+    import jax.numpy as jnp
+
+    from gkl_tpu import profiling
+
+    with profiling.trace(str(tmp_path)):
+        jnp.arange(128.0).sum().block_until_ready()
+    files = list(tmp_path.rglob("*"))
+    assert files, "trace directory should contain profiler output"
