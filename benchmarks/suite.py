@@ -75,19 +75,24 @@ def bench_pairhmm(on_tpu, quick):
 
     R, H, P, iters = (32, 64, 256, 10) if quick or not on_tpu else (128, 224, 2048, 100)
     if on_tpu:
-        from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas as fn
+        # the API's actual f32 path: the scaled kernel (rescue built in)
+        from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
 
-        kw = {}
+        def fn(*a):
+            mant, ex = pairhmm_raw_pallas_scaled(*a)
+            return mant + ex.astype(jnp.float32) * jnp.float32(1e-30)
     else:
-        from gkl_tpu.ops.pairhmm import pairhmm_raw as fn
+        from gkl_tpu.ops.pairhmm import pairhmm_raw
 
-        kw = {"dtype": "float32"}
+        def fn(*a):
+            return pairhmm_raw(*a, dtype="float32")
+
     args = [jax.device_put(a) for a in _gatk_like_batch(R, H, P)]
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(a0, a1, a2, a3, a4, a5, a6, a7, n):
         def body(i, acc):
-            return acc + fn(a0, a1, a2 + (i % 3).astype(jnp.uint8), a3, a4, a5, a6, a7, **kw)
+            return acc + fn(a0, a1, a2 + (i % 3).astype(jnp.uint8), a3, a4, a5, a6, a7)
 
         return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.zeros((P,), jnp.float32)).sum()
 

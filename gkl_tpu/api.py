@@ -184,21 +184,23 @@ class PairHMM:
         )
         return np.asarray(raw)[: packed.n_real]
 
-    def _rescue_scaled(self, packed: batch_mod.PackedPairs) -> np.ndarray | None:
-        """On-device rescue: log10 likelihoods from the scaled-f32 kernel,
-        or None when the fast path does not apply.
+    def _forward_scaled(self, packed: batch_mod.PackedPairs):
+        """One-pass f32 forward via the scaled kernel.
 
-        Accuracy: f32 precision at any depth — accumulated rounding grows
-        with read length (~5e-6 log10 at golden sizes, ~1e-4 at 256 bp;
-        the same noise the unrescued f32 path has at those lengths).  Set
-        GKL_TPU_EXACT_RESCUE=1 to force the reference-exact host f64 rescue.
+        Returns ``(res, needs_host)`` or None when the fast path does not
+        apply.  In-range lanes reproduce the plain float pipeline
+        bit-for-bit (power-of-two rescales are exact, and the log10 is
+        taken on the reconstructed f32 raw value); underflowed lanes get
+        the scaled result directly — f32 precision at any depth, the
+        reference's float->double rescue without a second pass.  Lanes in
+        the f64-subnormal parity zone (res < -600) are flagged for the
+        reference-exact host f64 recompute; GKL_TPU_EXACT_RESCUE=1 forces
+        all underflowed lanes onto that path.
         """
         import os
 
-        if os.environ.get("GKL_TPU_EXACT_RESCUE") == "1":
-            return None
         H, R = packed.hap.shape[0], packed.read.shape[0]
-        if not (self._use_pallas(H) and R % 4 == 0):
+        if not (self._use_pallas(H) and R % 4 == 0 and self.mesh is None):
             return None
         from .ops import pairhmm_pallas
 
@@ -208,9 +210,17 @@ class PairHMM:
         )
         mant = np.asarray(mant, dtype=np.float64)[: packed.n_real]
         ex = np.asarray(ex, dtype=np.float64)[: packed.n_real]
+        raw32 = np.ldexp(mant, ex.astype(np.int64)).astype(np.float32)
+        in_range = raw32 >= MIN_ACCEPTED
         with np.errstate(divide="ignore"):
+            res_in = pairhmm_ops.pairhmm_log10_from_raw_f32(raw32)
             # the scaled kernel's IC is 2^120, removed here exactly
-            return np.log10(mant) + (ex - 120.0) * np.log10(2.0)
+            res_deep = np.log10(mant) + (ex - 120.0) * np.log10(2.0)
+        res = np.where(in_range, res_in, res_deep)
+        deep = ~in_range & (~np.isfinite(res_deep) | (res_deep < -600.0))
+        if os.environ.get("GKL_TPU_EXACT_RESCUE") == "1":
+            deep = ~in_range
+        return res, deep
 
     def compute_likelihoods(
         self,
@@ -260,24 +270,23 @@ class PairHMM:
                 raw64 = self._raw_batch(packed, "float64")
                 res = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
             else:
-                raw32 = self._raw_batch(packed, "float32")
-                res = pairhmm_ops.pairhmm_log10_from_raw_f32(raw32)
-                needs_rescue = raw32 < MIN_ACCEPTED
+                forward = self._forward_scaled(packed)
+                if forward is not None:
+                    # single pass: the scaled kernel is bit-identical to the
+                    # plain f32 kernel for in-range lanes AND carries the
+                    # rescue (IntelPairHmm.cc:157-165) in the same call —
+                    # and its 4-row-unrolled loop is ~8% faster
+                    res, needs_rescue = forward
+                else:
+                    raw32 = self._raw_batch(packed, "float32")
+                    res = pairhmm_ops.pairhmm_log10_from_raw_f32(raw32)
+                    needs_rescue = raw32 < MIN_ACCEPTED
                 if np.any(needs_rescue):
-                    # Rescue (IntelPairHmm.cc:157-165).  On TPU the rescue
-                    # pass is the scaled-f32 kernel (per-lane power-of-two
-                    # renormalisation, unlimited range on device); elsewhere
-                    # — and for results so deep the reference's f64 would go
-                    # subnormal — the f64 engine recomputes on the host.
-                    res_scaled = self._rescue_scaled(packed)
-                    if res_scaled is not None:
-                        usable = needs_rescue & np.isfinite(res_scaled) & (res_scaled > -600.0)
-                        res = np.where(usable, res_scaled, res)
-                        needs_rescue = needs_rescue & ~usable
-                    if np.any(needs_rescue):
-                        raw64 = self._raw_batch(packed, "float64")
-                        res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
-                        res = np.where(needs_rescue, res64, res)
+                    # reference-exact f64 for lanes in the f64-subnormal
+                    # parity zone, or whenever the fast path is unavailable
+                    raw64 = self._raw_batch(packed, "float64")
+                    res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
+                    res = np.where(needs_rescue, res64, res)
             out[np.asarray(idxs)] = res
 
         if profiling.metrics_enabled():

@@ -75,6 +75,94 @@ def parse_header(payload: bytes) -> tuple[BamHeader, int]:
     return BamHeader(text, names, lengths), off
 
 
+def _native_bam():
+    from . import native_lib
+
+    lib = native_lib.load("gkl_bam")
+    if lib is not None and not hasattr(lib, "_bam_ready"):
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.gkl_bam_count.restype = ctypes.c_int
+        lib.gkl_bam_count.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, i64p, i64p, i64p]
+        lib.gkl_bam_scan.restype = ctypes.c_int64
+        lib.gkl_bam_scan.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64,
+                                     i32p, i32p, i32p, i32p, i32p,
+                                     i64p, u8p, i64p, u8p,
+                                     i64p, i32p, u8p, i64p, i32p]
+        lib._bam_ready = True
+    return lib
+
+
+def parse_records_native(payload: bytes, offset: int, limit: int | None = None):
+    """Native two-pass record scan (C++): decodes fixed fields, unpacks
+    sequences, and copies quals into flat buffers in one pass — the
+    data-loader stage of the pipeline.  Returns a list of BamRecords whose
+    seq/qual are views into shared buffers.  None if the native library is
+    unavailable."""
+    import ctypes
+
+    lib = _native_bam()
+    if lib is None:
+        return None
+    buf = np.frombuffer(payload, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    n_rec = i64()
+    seq_bytes = i64()
+    name_bytes = i64()
+    maxr = i64(limit or 0)
+    rc = lib.gkl_bam_count(buf.ctypes.data_as(u8p), len(buf), offset, maxr,
+                           ctypes.byref(n_rec), ctypes.byref(seq_bytes),
+                           ctypes.byref(name_bytes))
+    if rc != 0:
+        raise ValueError("truncated BAM record")
+    n = n_rec.value
+    a_i32 = lambda: np.empty(n, np.int32)
+    a_i64 = lambda: np.empty(n, np.int64)
+    ref_id, pos, flag, mapq, l_seq = a_i32(), a_i32(), a_i32(), a_i32(), a_i32()
+    n_cigar, name_len = a_i32(), a_i32()
+    seq_off, qual_off, name_off, cigar_off = a_i64(), a_i64(), a_i64(), a_i64()
+    seq_buf = np.empty(seq_bytes.value, np.uint8)
+    qual_buf = np.empty(seq_bytes.value, np.uint8)
+    name_buf = np.empty(max(1, name_bytes.value), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    wrote = lib.gkl_bam_scan(
+        buf.ctypes.data_as(u8p), len(buf), offset, maxr,
+        ref_id.ctypes.data_as(i32p), pos.ctypes.data_as(i32p),
+        flag.ctypes.data_as(i32p), mapq.ctypes.data_as(i32p),
+        l_seq.ctypes.data_as(i32p),
+        seq_off.ctypes.data_as(i64p), seq_buf.ctypes.data_as(u8p),
+        qual_off.ctypes.data_as(i64p), qual_buf.ctypes.data_as(u8p),
+        name_off.ctypes.data_as(i64p), name_len.ctypes.data_as(i32p),
+        name_buf.ctypes.data_as(u8p),
+        cigar_off.ctypes.data_as(i64p), n_cigar.ctypes.data_as(i32p),
+    )
+    if wrote != n:
+        raise ValueError("BAM scan inconsistency")
+    u = struct.unpack_from
+    records = []
+    for k in range(n):
+        s0 = seq_off[k]
+        ls = l_seq[k]
+        cigar = []
+        co = cigar_off[k]
+        for ci in range(n_cigar[k]):
+            (c,) = u("<I", payload, co + 4 * ci)
+            cigar.append((c >> 4, CIGAR_OPS[c & 0xF]))
+        name = bytes(name_buf[name_off[k] : name_off[k] + name_len[k]]).decode("ascii")
+        records.append(BamRecord(
+            name, int(flag[k]), int(ref_id[k]), int(pos[k]), int(mapq[k]),
+            cigar, seq_buf[s0 : s0 + ls], qual_buf[s0 : s0 + ls],
+        ))
+    return records
+
+
 def parse_records(payload: bytes, offset: int, limit: int | None = None):
     """Yield BamRecords from a decompressed BAM payload."""
     n = len(payload)
@@ -122,7 +210,10 @@ def read_bam(path: str, limit: int | None = None, threads: int | None = None):
         data = fh.read()
     payload = bgzf.decompress(data, threads=threads)
     header, off = parse_header(payload)
-    return header, list(parse_records(payload, off, limit=limit))
+    records = parse_records_native(payload, off, limit=limit)
+    if records is None:  # native loader unavailable: pure-Python fallback
+        records = list(parse_records(payload, off, limit=limit))
+    return header, records
 
 
 # ---------------------------------------------------------------------------

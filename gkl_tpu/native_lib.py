@@ -21,16 +21,18 @@ import subprocess
 import sys
 import threading
 
-_ALLOWED = ("gkl_sw_runtime", "gkl_codec")
+_ALLOWED = ("gkl_sw_runtime", "gkl_codec", "gkl_bam")
 
 _SRC = {
     "gkl_sw_runtime": ["sw_runtime.cc"],
     "gkl_codec": ["codec.cc"],
+    "gkl_bam": ["bam_scan.cc"],
 }
 
 _LINK = {
     "gkl_codec": ["-lz"],
     "gkl_sw_runtime": [],
+    "gkl_bam": [],
 }
 
 _cache: dict[str, ctypes.CDLL | None] = {}

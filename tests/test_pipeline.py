@@ -102,3 +102,21 @@ def test_bam_write_read_roundtrip(tmp_path):
             assert a.cigar == b.cigar
             np.testing.assert_array_equal(a.seq, b.seq)
             np.testing.assert_array_equal(a.qual, b.qual)
+
+
+def test_native_scanner_matches_python():
+    """The C++ record scanner and the Python parser produce identical
+    records (fields, CIGARs, sequences, quals)."""
+    with open(BAM, "rb") as fh:
+        data = fh.read()
+    payload = bam_mod.bgzf.decompress(data)
+    _, off = bam_mod.parse_header(payload)
+    native = bam_mod.parse_records_native(payload, off, limit=400)
+    assert native is not None, "native BAM scanner should build here"
+    py = list(bam_mod.parse_records(payload, off, limit=400))
+    assert len(native) == len(py) == 400
+    for a, b in zip(native, py):
+        assert (a.name, a.flag, a.ref_id, a.pos, a.mapq) == (b.name, b.flag, b.ref_id, b.pos, b.mapq)
+        assert a.cigar == b.cigar
+        np.testing.assert_array_equal(a.seq, b.seq)
+        np.testing.assert_array_equal(a.qual, b.qual)
