@@ -113,7 +113,16 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
         return carry
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, jnp.int32(0))
+    if H % 4 == 0:
+        # 4-column unrolled chunks pipeline measurably better
+        def chunk(c, carry):
+            for k in range(4):
+                body(c * 4 + jnp.int32(k), carry)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(H // 4), chunk, jnp.int32(0))
+    else:
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))

@@ -76,7 +76,7 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
     f_ref[:] = jnp.full((M, LP), low, i32)
     lastrow_ref[:] = jnp.zeros((M, LP), i32)
 
-    def body(i, carry):
+    def body(i, carry, parity=None):
         # row index i is 1-based
         rc = ref_ref[pl.ds(i - 1, 1), :]  # (1, LP)
         if indel_boundary:
@@ -127,16 +127,23 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
         )  # i32; Mosaic cannot shift i8 vectors, so nibble math stays i32
 
         # row-pair nibble packing in VMEM: halves the backtrack HBM write
-        # and removes the separate XLA pack pass (~40% of the old call)
-        @pl.when(i % 2 == 1)
+        # and removes the separate XLA pack pass (~40% of the old call).
+        # Under the 4-row unrolled loop the parity is static per slot.
         def _stash():
             prev_bt_ref[:] = bt.astype(jnp.uint8)
 
-        @pl.when(i % 2 == 0)
         def _emit():
             bt_ref[pl.ds(i // 2 - 1, 1), :, :] = (
                 prev_bt_ref[:].astype(jnp.int32) | (bt << 4)
             ).astype(jnp.uint8)[None]
+
+        if parity is None:
+            pl.when(i % 2 == 1)(_stash)
+            pl.when(i % 2 == 0)(_emit)
+        elif parity == 1:
+            _stash()
+        else:
+            _emit()
 
         lc = jnp.max(jnp.where(lastcol_onehot, h_new, scan_low), axis=0, keepdims=True)
         lastcol_ref[pl.ds(i - 1, 1), :] = lc
@@ -146,7 +153,17 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
         f_ref[:] = f_new
         return carry
 
-    jax.lax.fori_loop(jnp.int32(1), jnp.int32(N + 1), body, jnp.int32(0))
+    if N % 4 == 0:
+        # 4-row unrolled chunks pipeline better AND make the pack parity
+        # static (no predicated regions)
+        def chunk(c, carry):
+            for k in range(4):
+                body(c * 4 + jnp.int32(k + 1), carry, parity=(k + 1) % 2)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(N // 4), chunk, jnp.int32(0))
+    else:
+        jax.lax.fori_loop(jnp.int32(1), jnp.int32(N + 1), body, jnp.int32(0))
 
 
 def sw_pallas_fits(N: int, M: int, lane_block: int = LANE_BLOCK) -> bool:
