@@ -280,15 +280,15 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
         out_ref[:] += col_sum * valid
         return carry
 
-    # 4-column unrolled chunks pipeline measurably better than single-column
+    # 8-column unrolled chunks pipeline measurably better than single-column
     # iterations (H buckets are multiples of 8)
-    if H % 4 == 0:
+    if H % 8 == 0:
         def chunk(c, carry):
-            for k in range(4):
-                body(c * 4 + jnp.int32(k), carry)
+            for k in range(8):
+                body(c * 8 + jnp.int32(k), carry)
             return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(H // 4), chunk, jnp.int32(0))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(H // 8), chunk, jnp.int32(0))
     else:
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, jnp.int32(0))
 
