@@ -133,10 +133,15 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         # below an early transient maximum) would flush against a stale
         # high exponent
         e_acc = jnp.where(acc_m > f32(0.0), e_new + ea, e_state)
-        # renormalise the DP state: per-lane maximum magnitude back to ~1
-        m_v = m_ref[:]
-        x_v = x_ref[:]
-        y_v = y_ref[:]
+        # renormalise the DP state: per-lane maximum magnitude back to ~1.
+        # Invalid padded columns (beyond haplen) are zeroed: their pad-match
+        # garbage decays far slower than real lanes and would otherwise
+        # dominate the max and crush the valid columns into flush range
+        # (column shifts only move information low -> high, so zeroing
+        # columns beyond haplen never affects valid ones).
+        m_v = m_ref[:] * col_valid
+        x_v = x_ref[:] * col_valid
+        y_v = y_ref[:] * col_valid
         mx = jnp.max(jnp.maximum(m_v, jnp.maximum(x_v, y_v)), axis=0, keepdims=True)
         e = exponent_of(mx)
         sf = jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32)

@@ -77,3 +77,28 @@ def test_sw_kernels_agree(seed, N, M, ib):
                           indel_boundary=ib, lane_block=8, interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_scaled_kernel_short_haplen_long_read():
+    """Regression: padded columns beyond haplen must not dominate the
+    scaled kernel's rescale max (their pad-match garbage decays slowly and
+    crushed valid columns into flush range)."""
+    from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
+
+    rng = np.random.default_rng(99)
+    R, H, P = 48, 24, 16
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    hap = bases[rng.integers(0, 5, (H, P))]
+    read = bases[rng.integers(0, 5, (R, P))]
+    q = rng.integers(0, 64, (R, P)).astype(np.uint8)
+    iq = rng.integers(0, 64, (R, P)).astype(np.uint8)
+    dq = rng.integers(0, 64, (R, P)).astype(np.uint8)
+    gcp = rng.integers(0, 40, (R, P)).astype(np.uint8)
+    haplen = rng.integers(1, 10, P).astype(np.int32)  # short haps, long pad
+    rslen = rng.integers(30, R + 1, P).astype(np.int32)
+    args = (hap, read, q, iq, dq, gcp, haplen, rslen)
+    ref = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    m, e = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    recon = np.asarray(m).astype(np.float64) * np.exp2(np.asarray(e).astype(np.float64))
+    ok = ref > 1e-30  # above plain f32's own precision floor
+    np.testing.assert_allclose(recon[ok], ref[ok], rtol=5e-5)
