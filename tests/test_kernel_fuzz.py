@@ -36,7 +36,9 @@ def test_pairhmm_kernels_agree(seed, R, H):
     ref = np.asarray(pairhmm_raw(*args, dtype="float32"))
     rows = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True))
     cols = np.asarray(pairhmm_raw_pallas_cols(*args, lane_block=8, interpret=True))
-    ok = ref > 0
+    # compare only above MIN_ACCEPTED: below it the API rescues in f64 and
+    # f32 engines legitimately lose precision near their flush floor
+    ok = ref > 1e-28
     np.testing.assert_allclose(rows[ok], ref[ok], rtol=3e-5)
     np.testing.assert_allclose(cols[ok], ref[ok], rtol=3e-5)
 
@@ -57,7 +59,7 @@ def test_pdhmm_kernels_agree(seed, R, H):
     args = (hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen)
     ref = np.asarray(pdhmm_ops.pdhmm_raw(*args, dtype="float32"))
     pal = np.asarray(pdhmm_raw_pallas(*args, lane_block=8, interpret=True))
-    ok = ref > 0
+    ok = ref > 1e-28  # below MIN_ACCEPTED the API rescues in f64
     np.testing.assert_allclose(pal[ok], ref[ok], rtol=3e-5)
 
 
