@@ -32,5 +32,5 @@ def test_interpret_bit_parity(indel_boundary):
 
 def test_fits_budget():
     assert sw_pallas_fits(160, 160)
-    assert sw_pallas_fits(256, 256)
-    assert not sw_pallas_fits(512, 512)
+    assert sw_pallas_fits(384, 384)  # row-packing halved the bt block
+    assert not sw_pallas_fits(768, 768)
