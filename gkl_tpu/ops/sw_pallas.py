@@ -169,7 +169,7 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
 def sw_pallas_fits(N: int, M: int, lane_block: int = LANE_BLOCK) -> bool:
     """VMEM budget: the (N//2, M, LANE_BLOCK) row-packed backtrack block
     plus the int32 state/input tiles."""
-    return (N // 2) * M * lane_block + 12 * M * lane_block * 4 <= 10 * (1 << 20)
+    return (N // 2) * M * lane_block + 12 * M * lane_block * 4 <= 13 * (1 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("indel_boundary", "lane_block", "interpret"))
