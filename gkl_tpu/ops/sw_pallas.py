@@ -12,8 +12,8 @@ Same recurrence and backtrack codes as ``ops/sw.py`` (semantics from
   2k/2k+1 in the low/high nibble), halving the O(N*M) write that dominated
   the call; only the lane-major transpose runs as an XLA pass afterwards.
 
-The VMEM budget caps the padded problem at roughly N*M <= 96k cells per
-lane block (e.g. 320x256); the caller falls back to the jnp scan kernel
+The VMEM budget caps the padded problem at roughly N*M <= 190k cells per
+lane block (e.g. 384x384); the caller falls back to the jnp scan kernel
 beyond that.
 """
 
