@@ -39,11 +39,52 @@ from .. import context as ctx_mod
 _N_CHAR = np.uint8(ord("N"))
 
 
+def _mant_exp(a):
+    """``(m, e)`` with ``a == m * 2^e`` and ``m`` in [1, 2), for positive
+    normal ``a`` — bitwise frexp.  ``jnp.frexp``/``jnp.ldexp`` route through
+    ``pow()`` and produce wrong values at extreme exponents under XLA
+    fusion; exponent-field bit math is exact and fusion-proof."""
+    if a.dtype == jnp.float64:
+        ib, sh, bias, mask = jnp.int64, 52, 1023, 0x7FF
+    else:
+        ib, sh, bias, mask = jnp.int32, 23, 127, 0xFF
+    bits = jax.lax.bitcast_convert_type(a, ib)
+    e = ((bits >> sh) & mask) - bias
+    m = a * jax.lax.bitcast_convert_type((bias - e) << sh, a.dtype)
+    return m, e.astype(jnp.int32)
+
+
+def _pow2_mul(x, e):
+    """``x * 2^e`` for ``e <= 0`` (i32) far below the normal-exponent range:
+    two exact power-of-two factors cover ``e >= -2*(bias-1)``; smaller
+    coefficients are zeroed (their scan contributions are provably below
+    any representable result of interest)."""
+    if x.dtype == jnp.float64:
+        ib, sh, bias = jnp.int64, 52, 1023
+    else:
+        ib, sh, bias = jnp.int32, 23, 127
+    eh = e >> 1
+    el = e - eh
+
+    def pow2(v):
+        return jax.lax.bitcast_convert_type(
+            jnp.clip(v + bias, 1, 2 * bias).astype(ib) << sh, x.dtype)
+
+    return jnp.where(e < -(2 * (bias - 1)), x.dtype.type(0), (x * pow2(eh)) * pow2(el))
+
+
 def _affine_combine(left, right):
-    """Compose affine maps y -> a*y + b (left applied first)."""
-    a_l, b_l = left
-    a_r, b_r = right
-    return a_r * a_l, a_r * b_l + b_r
+    """Compose affine maps y -> a*y + b (left applied first).
+
+    The coefficient rides as a (mantissa, exponent) pair: composed
+    coefficients are products over column spans and underflow f32 long
+    before their contributions become immaterial (16 columns of Q40 gap
+    quals is already 10^-64); exponent-split power-of-two factors apply
+    them at full range, exactly, so in-range results are bit-identical."""
+    m_l, e_l, b_l = left
+    m_r, e_r, b_r = right
+    m, d = _mant_exp(m_l * m_r)  # product in [1, 4) -> d in {0, 1}
+    return m, e_l + e_r + d, _pow2_mul(m_r * b_l, e_r) + b_r
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -121,8 +162,8 @@ def pairhmm_raw(hap, read, q, iq, dq, gcp, haplen, rslen, *, dtype: str = "float
         # Y via affine associative scan along columns:
         #   Y[c] = pYY*Y[c-1] + pMY*M[c-1],  Y[0] = 0.
         b = pmy[None, :] * shift_down(m_new, zero_row)
-        a = jnp.broadcast_to(pyy[None, :], (H, P))
-        _, y_new = jax.lax.associative_scan(_affine_combine, (a, b), axis=0)
+        am, ae = _mant_exp(jnp.broadcast_to(pyy[None, :], (H, P)))
+        _, _, y_new = jax.lax.associative_scan(_affine_combine, (am, ae, b), axis=0)
 
         row_sum = jnp.sum((m_new + x_new) * col_valid, axis=0)
         acc = acc + jnp.where(row_idx == rslen, row_sum, f.type(0.0))

@@ -36,6 +36,36 @@ _N_CODE = 78
 LANE_BLOCK = 128
 
 
+def _renorm_mant(m):
+    """``(m2, e)`` with ``m == m2 * 2^e`` and ``m2`` in [1, 2), for positive
+    normal ``m`` (the power-of-two multiply is exact)."""
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    return m * jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32), e
+
+
+def _split_coeff(m, e):
+    """Split a scan coefficient ``m * 2^e`` (m in [1, 2), e <= 0) into two
+    f32 factors ``(q, p2)`` whose product applies it exactly.
+
+    Hoisted Hillis-Steele span coefficients are PRODUCTS of per-step decay
+    factors and underflow f32 long before their contributions become
+    immaterial: a 16-row span of Q40 gap quals is already 10^-64, yet times
+    a huge early-row M it can be 40% of an in-contract result (fuzz-caught;
+    TPU flushes subnormals to zero).  Two power-of-two factors cover
+    e >= -252; smaller coefficients are zeroed, bounding each lost
+    contribution by 2^-124 at INITIAL_CONSTANT scale — ten decades below
+    the f32 rescue threshold."""
+    eh = e >> 1  # floor halves: both parts >= -126 whenever e >= -252
+    el = e - eh
+
+    def pow2(x):
+        return jax.lax.bitcast_convert_type(jnp.clip(x + 127, 1, 254) << 23, jnp.float32)
+
+    q = jnp.where(e < -252, jnp.float32(0.0), m * pow2(eh))
+    return q, pow2(el)
+
+
 def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
                    out_ref, exp_ref, m_ref, x_ref, y_ref):
     """Rows kernel with per-lane power-of-two renormalisation every 4 rows.
@@ -93,11 +123,25 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         m_new = prior * shift1(t_comb, pgapm * y0)
         x_new = pmx * m_prev + pxx * x_prev
         b = pmy * shift1(m_new, jnp.zeros((1, LP), f32))
+        # spans 1-2 are plain multiplies (pYY >= 2^-43 for &127 quals, so
+        # pYY^2 cannot underflow); wider-span powers ride as (mantissa,
+        # exponent) pairs applied as two exact factors (see _split_coeff)
         alpha = pyy
+        am = ae = None
         for k in levels:
             b_sh = jnp.where(row_iota < k, f32(0.0), pltpu.roll(b, jnp.int32(k), 0))
-            b = alpha * b_sh + b
-            alpha = alpha * alpha
+            if k == 1:
+                b = alpha * b_sh + b
+            elif k == 2:
+                alpha = alpha * alpha
+                b = alpha * b_sh + b
+            else:
+                if am is None:
+                    am, ae = _renorm_mant(alpha)
+                am, d = _renorm_mant(am * am)
+                ae = ae * 2 + d
+                q_a, p2_a = _split_coeff(am, ae)
+                b = (q_a * b_sh) * p2_a + b
         m_ref[:] = m_new
         x_ref[:] = x_new
         y_ref[:] = b
@@ -133,7 +177,7 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         # below an early transient maximum) would flush against a stale
         # high exponent
         e_acc = jnp.where(acc_m > f32(0.0), e_new + ea, e_state)
-        # renormalise the DP state: per-lane maximum magnitude back to ~1.
+        # renormalise the DP state: per-lane maximum magnitude back to ~2^90.
         # Invalid padded columns (beyond haplen) are zeroed: their pad-match
         # garbage decays far slower than real lanes and would otherwise
         # dominate the max and crush the valid columns into flush range
@@ -144,11 +188,20 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         y_v = y_ref[:] * col_valid
         mx = jnp.max(jnp.maximum(m_v, jnp.maximum(x_v, y_v)), axis=0, keepdims=True)
         e = exponent_of(mx)
+        # target ~2^90, not ~1: a tile's minor columns can sit many decades
+        # under the max and still matter later; at target ~1 they flush to
+        # subnormals within a chunk (~1% deep-zone error at fuzz quals).
+        # The 65 decades between 2^91 and the f32 normal floor cover a
+        # 4-row window of realistic worst-case decay (~12.6 decades/row at
+        # Q63+Q63); only sustained >=Q80 base AND gap quals (beyond any
+        # real pipeline) can still flush intra-chunk.  2^(90-e) can exceed
+        # the f32 normal range, hence two exact factors.
         sf = jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32)
-        m_ref[:] = m_v * sf
-        x_ref[:] = x_v * sf
-        y_ref[:] = y_v * sf
-        return acc_m, e_acc, e_state + e
+        up = jnp.float32(2.0 ** 90)
+        m_ref[:] = (m_v * sf) * up
+        x_ref[:] = (x_v * sf) * up
+        y_ref[:] = (y_v * sf) * up
+        return acc_m, e_acc, e_state + e - 90
 
     zi = jnp.zeros((1, LP), jnp.int32)
     acc_m, e_acc, _ = jax.lax.fori_loop(
@@ -221,16 +274,28 @@ def _kernel(hap_ref, packed_ref, inity_ref, rslen_ref,
         # i.e. CONSTANT along the scanned column axis, so the affine-map
         # Hillis-Steele collapses to the constant-coefficient form
         #   b[c] += pYY^(2^k) * b[c - 2^k]
-        # with the pYY powers from (1, LP) scalar squarings — one roll and
-        # one fused multiply-add per level instead of two rolls and three
-        # multiplies.
+        # with the pYY powers from (1, LP) scalar squarings.  Spans 1-2 are
+        # plain multiplies (pYY >= 2^-43 for &127 quals, so pYY^2 cannot
+        # underflow); wider-span powers ride as (mantissa, exponent) pairs
+        # applied as two exact factors (see _split_coeff).
         b = pmy * shift1(m_new, jnp.zeros((1, LP), f32))
         alpha = pyy  # (1, LP)
+        am = ae = None
         for k in levels:
             ks = jnp.int32(k)
             b_sh = jnp.where(row_iota < k, jnp.float32(0.0), pltpu.roll(b, ks, 0))
-            b = alpha * b_sh + b
-            alpha = alpha * alpha
+            if k == 1:
+                b = alpha * b_sh + b
+            elif k == 2:
+                alpha = alpha * alpha
+                b = alpha * b_sh + b
+            else:
+                if am is None:
+                    am, ae = _renorm_mant(alpha)
+                am, d = _renorm_mant(am * am)
+                ae = ae * 2 + d
+                q_a, p2_a = _split_coeff(am, ae)
+                b = (q_a * b_sh) * p2_a + b
 
         m_ref[:] = m_new
         x_ref[:] = x_new

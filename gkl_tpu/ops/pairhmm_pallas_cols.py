@@ -69,14 +69,26 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
 
     zrow = jnp.zeros((1, LP), f32)
 
-    # X-scan coefficient products (pXX is column-invariant): a_levels[l] is
-    # the product of pXX over the 2^l-row span, wrap-masked.
+    # X-scan coefficient products (pXX is column-invariant): level l applies
+    # the product of pXX over the 2^l-row span, wrap-masked.  The products
+    # ride as (mantissa, exponent) pairs and are applied as two exact f32
+    # factors — raw span products underflow f32 while their contributions
+    # can still dominate the result (see pairhmm_pallas._split_coeff).
+    # Spans 1-2 cannot underflow for &127 quals (pXX >= 2^-43), so their
+    # exact single-factor form skips the extra in-loop multiply.
     a_levels = []
-    a_acc = pxx
+    am, ae = rows_mod._renorm_mant(pxx)
     k = 1
     while k < R:
-        a_levels.append((k, a_acc))
-        a_acc = a_acc * jnp.where(row_iota >= k, pltpu.roll(a_acc, jnp.int32(k), 0), f32(1.0))
+        q_k, p2_k = rows_mod._split_coeff(am, ae)
+        if k <= 2:
+            a_levels.append((k, q_k * p2_k, None))  # exact: both factors normal
+        else:
+            a_levels.append((k, q_k, p2_k))
+        m2 = am * jnp.where(row_iota >= k, pltpu.roll(am, jnp.int32(k), 0), f32(1.0))
+        e2 = ae + jnp.where(row_iota >= k, pltpu.roll(ae, jnp.int32(k), 0), jnp.int32(0))
+        am, d = rows_mod._renorm_mant(m2)
+        ae = e2 + d
         k <<= 1
 
     def body(j, carry):
@@ -101,9 +113,12 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
 
         # X: within-column affine scan over rows, X(0, c) = 0.
         b = pmx * shift1(m, zrow)
-        for k, a_k in a_levels:
+        for k, q_k, p2_k in a_levels:
             b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-            b = a_k * b_sh + b
+            t = q_k * b_sh
+            if p2_k is not None:
+                t = t * p2_k
+            b = t + b
 
         m_ref[:] = m
         x_ref[:] = b

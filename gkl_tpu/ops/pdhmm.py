@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import context as ctx_mod
+from .pairhmm import _mant_exp, _pow2_mul
 
 SNP = 1
 DEL_START = 2
@@ -69,10 +70,22 @@ def column_states(hap_pd: np.ndarray) -> np.ndarray:
 
 
 def _maxaffine_combine(left, right):
-    """Compose x -> max(c, a*x + b) maps (left applied first, all args >= 0)."""
-    c1, a1, b1 = left
-    c2, a2, b2 = right
-    return jnp.maximum(c2, a2 * c1 + b2), a2 * a1, a2 * b1 + b2
+    """Compose x -> max(c, a*x + b) maps (left applied first, all args >= 0).
+
+    The ``a`` coefficient rides as a (mantissa, exponent) pair: composed
+    coefficients are products over row spans and underflow f32 while their
+    contributions can still dominate (see pairhmm._affine_combine);
+    exponent-split power-of-two factors apply them at full range,
+    bit-identically in range."""
+    c1, m1, e1, b1 = left
+    c2, m2, e2, b2 = right
+    m, d = _mant_exp(m1 * m2)  # product in [1, 4) -> d in {0, 1}
+    return (
+        jnp.maximum(c2, _pow2_mul(m2 * c1, e2) + b2),
+        m,
+        e1 + e2 + d,
+        _pow2_mul(m2 * b1, e2) + b2,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "boost_log2"))
@@ -220,8 +233,9 @@ def pdhmm_raw(
         b_aff = t_mi * jnp.where(del_end, jnp.maximum(bm_top, m_top), m_top)
         a_aff = t_ii
         c_aff = jnp.where(del_end, b_aff + t_ii * bi_top, f.type(0.0))
-        cc, aa, bb = jax.lax.associative_scan(
-            _maxaffine_combine, (c_aff, a_aff, b_aff), axis=0
+        am, ae = _mant_exp(a_aff)
+        cc, _, _, bb = jax.lax.associative_scan(
+            _maxaffine_combine, (c_aff, am, ae, b_aff), axis=0
         )
         ins = jnp.maximum(cc, bb)  # applied to I[0] = 0
 

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import context as ctx_mod
+from .pairhmm_pallas import _renorm_mant, _split_coeff
 from .pdhmm import DEL_END, SNP, _N_CODE
 
 LANE_BLOCK = 128
@@ -176,13 +177,25 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
 
     # Hillis-Steele ``a`` products are column-invariant (t_ii depends only on
     # row quals), so the per-level accumulated products are hoisted out of
-    # the column loop: a_levels[l] is the product of a over the 2^l-row span.
+    # the column loop: level l applies the product of a over the 2^l-row
+    # span.  The products ride as (mantissa, exponent) pairs applied as two
+    # exact f32 factors — raw span products underflow f32 while their
+    # contributions can still dominate (see pairhmm_pallas._split_coeff).
+    # span 1 cannot underflow (t_ii >= 2^-85 at MAX_QUAL 254), so its exact
+    # single-factor form skips the extra in-loop multiply; span-2 products
+    # already can (2^-169).
     a_levels = []
-    a_acc = t_dd  # t_ii == t_dd
+    am, ae = _renorm_mant(t_dd)  # t_ii == t_dd
     k = 1
     while k < R:
-        a_levels.append((k, a_acc))
-        a_acc = a_acc * jnp.where(row_iota >= k, pltpu.roll(a_acc, jnp.int32(k), 0), f32(1.0))
+        if k == 1:
+            a_levels.append((k, t_dd, None))
+        else:
+            a_levels.append((k,) + _split_coeff(am, ae))
+        m2 = am * jnp.where(row_iota >= k, pltpu.roll(am, jnp.int32(k), 0), f32(1.0))
+        e2 = ae + jnp.where(row_iota >= k, pltpu.roll(ae, jnp.int32(k), 0), jnp.int32(0))
+        am, d = _renorm_mant(m2)
+        ae = e2 + d
         k <<= 1
 
     block = pl.program_id(0)
@@ -209,11 +222,14 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
             d_dg = shift1(d_l, ic)
             m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
             d = m_l * t_md + d_l * t_dd
-            # affine insertion scan (no max-merges): b[r] += a^(2^k) b[r-2^k]
+            # affine insertion scan (no max-merges): b[r] += a_span * b[r-2^k]
             b = t_mi * shift1(m, zrow)
-            for k, a_k in a_levels:
+            for k, q_k, p2_k in a_levels:
                 b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                b = a_k * b_sh + b
+                t = q_k * b_sh
+                if p2_k is not None:
+                    t = t * p2_k
+                b = t + b
             m_ref[:] = m
             i_ref[:] = b
             d_ref[:] = d
@@ -260,12 +276,17 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
             m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
             b = t_mi * shift1(m_eff, zrow)
             c = jnp.where(del_end, b + t_dd * shift1(bi, zrow), zero)
-            for k, a_k in a_levels:
+            for k, q_k, p2_k in a_levels:
                 in_range = row_iota >= k
                 c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
                 b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                c = jnp.maximum(c, a_k * c_sh + b)
-                b = a_k * b_sh + b
+                tc = q_k * c_sh
+                tb = q_k * b_sh
+                if p2_k is not None:
+                    tc = tc * p2_k
+                    tb = tb * p2_k
+                c = jnp.maximum(c, tc + b)
+                b = tb + b
             ins = jnp.maximum(c, b)  # applied to I[0] = 0
 
             m_ref[:] = m

@@ -104,3 +104,52 @@ def test_scaled_kernel_short_haplen_long_read():
     recon = np.asarray(m).astype(np.float64) * np.exp2(np.asarray(e).astype(np.float64))
     ok = ref > 1e-30  # above plain f32's own precision floor
     np.testing.assert_allclose(recon[ok], ref[ok], rtol=5e-5)
+
+
+def test_scan_coefficient_underflow():
+    """Regression: hoisted Hillis-Steele span coefficients (products of
+    per-step decay factors) underflow f32 while their contributions still
+    dominate — a 16-row window of high gap quals is ~1e-64, yet times a
+    huge early-row M it was 44% of an in-contract result (fuzz seed 31337).
+    All scan paths must carry coefficients as (mantissa, exponent) pairs."""
+    rng = np.random.default_rng(31337)
+    R, H, P = 32, 8, 16
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    hap = bases[rng.integers(0, 5, (H, P))]
+    read = bases[rng.integers(0, 5, (R, P))]
+    read[:5] = hap[:5]  # early rows match: early-row M is huge
+    q = rng.integers(0, 64, (R, P)).astype(np.uint8)
+    iq = rng.integers(0, 64, (R, P)).astype(np.uint8)
+    dq = rng.integers(0, 64, (R, P)).astype(np.uint8)
+    gcp = np.full((R, P), 39, np.uint8)  # 16-row span product ~ 1e-62
+    haplen = np.full(P, 5, np.int32)  # tiny hap: pure-insertion tail
+    rslen = np.full(P, R, np.int32)
+    args = (hap, read, q, iq, dq, gcp, haplen, rslen)
+    ref64 = np.asarray(pairhmm_raw(*args, dtype="float64")) * (2.0 ** -900)
+    ref = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    rows = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True))
+    cols = np.asarray(pairhmm_raw_pallas_cols(*args, lane_block=8, interpret=True))
+    ok = ref > 1e-28
+    # the jnp f32 reference itself must match f64 here (its associative scan
+    # had the same flaw)
+    np.testing.assert_allclose(ref[ok], ref64[ok], rtol=5e-5)
+    np.testing.assert_allclose(rows[ok], ref[ok], rtol=5e-5)
+    np.testing.assert_allclose(cols[ok], ref[ok], rtol=5e-5)
+
+    from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
+
+    m, e = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    recon = np.asarray(m).astype(np.float64) * np.exp2(np.asarray(e).astype(np.float64))
+    ok64 = ref64 > 1e-200
+    np.testing.assert_allclose(recon[ok64], ref64[ok64], rtol=2e-3)
+
+    # PDHMM: same insertion-scan structure (no PD events -> fast columns)
+    hap_pd = np.zeros((H, P), np.uint8)
+    states = pdhmm_ops.column_states(hap_pd)
+    pdargs = (hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen)
+    pref64 = np.asarray(pdhmm_ops.pdhmm_raw(*pdargs, dtype="float64")) * (2.0 ** -900)
+    pref = np.asarray(pdhmm_ops.pdhmm_raw(*pdargs, dtype="float32"))
+    ppal = np.asarray(pdhmm_raw_pallas(*pdargs, lane_block=8, interpret=True))
+    ok2 = pref > 1e-28
+    np.testing.assert_allclose(pref[ok2], pref64[ok2], rtol=5e-5)
+    np.testing.assert_allclose(ppal[ok2], pref[ok2], rtol=5e-5)
