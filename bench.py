@@ -60,7 +60,7 @@ def bench_pairhmm(R=128, H=224, P=2048, iters=100):
         from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
 
         def fn(*a):
-            mant, ex = pairhmm_raw_pallas_scaled(*a)
+            mant, ex, _ = pairhmm_raw_pallas_scaled(*a)
             return mant + ex.astype(jnp.float32) * jnp.float32(1e-30)
     else:
         from gkl_tpu.ops.pairhmm import pairhmm_raw

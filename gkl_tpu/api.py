@@ -204,12 +204,13 @@ class PairHMM:
             return None
         from .ops import pairhmm_pallas
 
-        mant, ex = pairhmm_pallas.pairhmm_raw_pallas_scaled(
+        mant, ex, flag = pairhmm_pallas.pairhmm_raw_pallas_scaled(
             packed.hap, packed.read, packed.q, packed.iq, packed.dq,
             packed.gcp, packed.haplen, packed.rslen, lane_block=128,
         )
         mant = np.asarray(mant, dtype=np.float64)[: packed.n_real]
         ex = np.asarray(ex, dtype=np.float64)[: packed.n_real]
+        flag = np.asarray(flag)[: packed.n_real]
         raw32 = np.ldexp(mant, ex.astype(np.int64)).astype(np.float32)
         in_range = raw32 >= MIN_ACCEPTED
         with np.errstate(divide="ignore"):
@@ -217,9 +218,21 @@ class PairHMM:
             # the scaled kernel's IC is 2^120, removed here exactly
             res_deep = np.log10(mant) + (ex - 120.0) * np.log10(2.0)
         res = np.where(in_range, res_in, res_deep)
+        # host-f64 rescue policy (GKL_TPU_RESCUE):
+        #   flagged (default) — rescue deep lanes whose column spread
+        #     exceeded the scaled kernel's f32 window (a flushed path may
+        #     have been dominant; the flag is conservative and fires for
+        #     most long-read deep lanes, matching the reference's
+        #     rescue-every-deep-lane architecture, IntelPairHmm.cc:157-165);
+        #   device  — trust the scaled kernel everywhere (fastest; exact
+        #     for in-range lanes, heuristic-accurate for deep ones);
+        #   host    — rescue every deep lane (reference-exact).
         deep = ~in_range & (~np.isfinite(res_deep) | (res_deep < -600.0))
-        if os.environ.get("GKL_TPU_EXACT_RESCUE") == "1":
+        mode = os.environ.get("GKL_TPU_RESCUE", "flagged")
+        if os.environ.get("GKL_TPU_EXACT_RESCUE") == "1" or mode == "host":
             deep = ~in_range
+        elif mode != "device":
+            deep = deep | (~in_range & (flag != 0))
         return res, deep
 
     def compute_likelihoods(

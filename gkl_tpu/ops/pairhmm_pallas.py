@@ -67,7 +67,7 @@ def _split_coeff(m, e):
 
 
 def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
-                   out_ref, exp_ref, m_ref, x_ref, y_ref):
+                   out_ref, exp_ref, flag_ref, m_ref, x_ref, y_ref, live_ref):
     """Rows kernel with per-lane power-of-two renormalisation every 4 rows.
 
     Power-of-two multiplies are exact, so in-range lanes match the plain
@@ -75,6 +75,12 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
     depth: the result is ``out * 2^exp`` per lane.  This replaces the
     host-CPU f64 rescue pass for underflowed lanes (the reference's
     float->double rescue, IntelPairHmm.cc:157-165) with an on-device one.
+
+    ``flag`` marks lanes whose column-value spread exceeded the per-lane
+    f32 window (~65 decades): a valid column's M/X/Y died relative to the
+    window, so a flushed path may have mattered — the caller must rescue
+    those lanes in f64 if their result is deep (fuzz-caught: a path 53
+    decades under the max flushed mid-DP, then resurfaced dominant).
     """
     H, LP = m_ref.shape
     R = packed_ref.shape[0] // 8
@@ -91,6 +97,10 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
     m_ref[:] = jnp.zeros((H, LP), f32)
     x_ref[:] = jnp.zeros((H, LP), f32)
     y_ref[:] = jnp.broadcast_to(inity, (H, LP))
+    # liveness bit per column as of the last rescale: Y starts nonzero
+    # everywhere (inity), so every valid column begins alive
+    live_ref[:] = jnp.where(col_valid > f32(0.0), jnp.int32(1), jnp.int32(0))
+    flag_ref[:] = jnp.zeros((1, LP), jnp.int32)
 
     levels = []
     k = 1
@@ -168,14 +178,26 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         acc_chunk = jnp.zeros_like(acc_m)
         for k in range(4):
             acc_chunk = row_body(c * 4 + jnp.int32(k), acc_chunk)
-        e_new = jnp.maximum(e_acc, e_state)
-        acc_m = acc_m * pow2m(e_acc - e_new) + acc_chunk * pow2m(e_state - e_new)
+        # fold the chunk by comparing VALUE exponents (scale + mantissa
+        # exponent), never nominal scales: after a lane's result row,
+        # garbage pad rows with low quals can GROW the state (gcp=0 turns Y
+        # into a prefix sum, x H per row), driving e_state hundreds of
+        # binades above the collected result — rescaling the accumulator to
+        # that scale flushed it (fuzz-caught).
+        has_acc = acc_m > f32(0.0)
+        has_chunk = acc_chunk > f32(0.0)
+        chunk_e = e_state + exponent_of(acc_chunk)
+        e_new = jnp.where(
+            has_acc & has_chunk, jnp.maximum(e_acc, chunk_e),
+            jnp.where(has_acc, e_acc, chunk_e),
+        )
+        # zero operands pair with an unclamped (possibly huge) exponent
+        # difference: gate the pow2m argument or 0 * garbage-bitcast = NaN
+        d_acc = jnp.where(has_acc, e_acc - e_new, 0)
+        d_chunk = jnp.where(has_chunk, e_state - e_new, 0)
+        acc_m = acc_m * pow2m(d_acc) + acc_chunk * pow2m(d_chunk)
         ea = jnp.where(acc_m > f32(0.0), exponent_of(acc_m), 0)
         acc_m = acc_m * jax.lax.bitcast_convert_type((127 - ea) << 23, jnp.float32)
-        # an empty accumulator must FOLLOW the state's scale — otherwise the
-        # first real contribution (which can arrive hundreds of binades
-        # below an early transient maximum) would flush against a stale
-        # high exponent
         e_acc = jnp.where(acc_m > f32(0.0), e_new + ea, e_state)
         # renormalise the DP state: per-lane maximum magnitude back to ~2^90.
         # Invalid padded columns (beyond haplen) are zeroed: their pad-match
@@ -186,6 +208,24 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         m_v = m_ref[:] * col_valid
         x_v = x_ref[:] * col_valid
         y_v = y_ref[:] * col_valid
+        # window-reliability flag: a valid column component alive at the
+        # last rescale and zero now means a value died relative to the
+        # window — its (flushed) path may still have mattered downstream.
+        # Deaths after the lane's result row are irrelevant (and frequent:
+        # pad rows can both grow and starve the state), hence the rslen
+        # gate.  In-range results never need the flag: the window floor in
+        # raw terms is at most 2^-115 (e_state <= 34 before collection),
+        # 22 binades under MIN_ACCEPTED.
+        # one liveness bit per column (M+X+Y combined: the failure mode
+        # kills whole columns — components are coupled and die together
+        # within a chunk or two)
+        live_now = jnp.where(m_v + x_v + y_v > f32(0.0), jnp.int32(1), jnp.int32(0))
+        lost = jnp.where(live_ref[:] > live_now, jnp.int32(1), jnp.int32(0))
+        gate = rslen > c * 4  # result not yet collected for this lane
+        flag_ref[:] = flag_ref[:] | jnp.where(
+            gate, jnp.max(lost, axis=0, keepdims=True), jnp.int32(0)
+        )
+        live_ref[:] = live_now
         mx = jnp.max(jnp.maximum(m_v, jnp.maximum(x_v, y_v)), axis=0, keepdims=True)
         e = exponent_of(mx)
         # target ~2^90, not ~1: a tile's minor columns can sit many decades
@@ -316,12 +356,15 @@ def _kernel(hap_ref, packed_ref, inity_ref, rslen_ref,
 def pairhmm_raw_pallas_scaled(hap, read, q, iq, dq, gcp, haplen, rslen,
                               *, lane_block: int = LANE_BLOCK,
                               interpret: bool = False):
-    """Scaled-f32 PairHMM forward: returns (mantissa (P,), exp2 (P,) int32).
+    """Scaled-f32 PairHMM forward: (mantissa (P,), exp2 (P,), flag (P,)).
 
     The per-lane forward probability is ``mantissa * 2^exp2`` — unlimited
     dynamic range at f32 precision, used as the on-device rescue pass for
     lanes whose plain-f32 result underflows MIN_ACCEPTED.  In-range lanes
     match the plain kernel bit-for-bit (power-of-two rescales are exact).
+    ``flag`` is nonzero for lanes whose column-value spread exceeded the
+    per-lane f32 window before the result row — their deep results may
+    have lost a dominant flushed path and need the host-f64 rescue.
     """
     from .. import context as _ctx
 
@@ -362,24 +405,26 @@ def pairhmm_raw_pallas_scaled(hap, read, q, iq, dq, gcp, haplen, rslen,
         )
 
     with jax.enable_x64(False):
-        out, exp = pl.pallas_call(
+        out, exp, flag = pl.pallas_call(
             _scaled_kernel,
             grid=grid,
             in_specs=[lane_spec(H), lane_spec(R * 8), lane_spec(1),
                       lane_spec(1), lane_spec(1)],
-            out_specs=[lane_spec(1), lane_spec(1)],
+            out_specs=[lane_spec(1), lane_spec(1), lane_spec(1)],
             out_shape=[
                 jax.ShapeDtypeStruct((1, P), jnp.float32),
+                jax.ShapeDtypeStruct((1, P), jnp.int32),
                 jax.ShapeDtypeStruct((1, P), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((H, lane_block), jnp.float32),
                 pltpu.VMEM((H, lane_block), jnp.float32),
                 pltpu.VMEM((H, lane_block), jnp.float32),
+                pltpu.VMEM((H, lane_block), jnp.int32),
             ],
             interpret=interpret,
         )(hap_i, packed, inity, rslen2, haplen2)
-    return out[0], exp[0]
+    return out[0], exp[0], flag[0]
 
 
 _LOG2_10 = float(np.log2(10.0))

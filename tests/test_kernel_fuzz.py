@@ -100,7 +100,7 @@ def test_scaled_kernel_short_haplen_long_read():
     rslen = rng.integers(30, R + 1, P).astype(np.int32)
     args = (hap, read, q, iq, dq, gcp, haplen, rslen)
     ref = np.asarray(pairhmm_raw(*args, dtype="float32"))
-    m, e = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    m, e, _ = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
     recon = np.asarray(m).astype(np.float64) * np.exp2(np.asarray(e).astype(np.float64))
     ok = ref > 1e-30  # above plain f32's own precision floor
     np.testing.assert_allclose(recon[ok], ref[ok], rtol=5e-5)
@@ -138,7 +138,7 @@ def test_scan_coefficient_underflow():
 
     from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
 
-    m, e = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    m, e, _ = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
     recon = np.asarray(m).astype(np.float64) * np.exp2(np.asarray(e).astype(np.float64))
     ok64 = ref64 > 1e-200
     np.testing.assert_allclose(recon[ok64], ref64[ok64], rtol=2e-3)
@@ -153,3 +153,28 @@ def test_scan_coefficient_underflow():
     ok2 = pref > 1e-28
     np.testing.assert_allclose(pref[ok2], pref64[ok2], rtol=5e-5)
     np.testing.assert_allclose(ppal[ok2], pref[ok2], rtol=5e-5)
+
+
+def test_scaled_kernel_growing_pad_tail():
+    """Regression: rows past a lane's rslen can GROW the DP state (with a
+    wide haplotype and near-1 pYY, M <- pGAPM*Y <- H*pMY*M amplifies per
+    row), driving the state scale hundreds of binades above the collected
+    result — the accumulator fold must compare VALUE exponents or the
+    result flushes to zero (fuzz-caught at R=256/H=384)."""
+    from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
+
+    R, H, P = 128, 128, 8
+    hap = np.full((H, P), ord("A"), np.uint8)
+    read = np.full((R, P), ord("A"), np.uint8)
+    q = np.full((R, P), 10, np.uint8)
+    iq = np.full((R, P), 10, np.uint8)
+    dq = np.full((R, P), 6, np.uint8)   # pMY ~ 0.25
+    gcp = np.full((R, P), 1, np.uint8)  # pYY ~ 0.79, pGAPM ~ 0.21
+    haplen = np.full(P, H, np.int32)
+    rslen = np.full(P, 8, np.int32)     # 120 growing pad rows follow
+    args = (hap, read, q, iq, dq, gcp, haplen, rslen)
+    ref = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    m, e, _ = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    recon = np.asarray(m).astype(np.float64) * np.exp2(np.asarray(e).astype(np.float64))
+    assert np.all(ref > 0)
+    np.testing.assert_allclose(recon, ref, rtol=1e-6)

@@ -99,7 +99,7 @@ def test_scaled_kernel_in_range_parity():
     args = (packed.hap, packed.read, packed.q, packed.iq, packed.dq,
             packed.gcp, packed.haplen, packed.rslen)
     plain = np.asarray(pairhmm_raw_pallas(*args, lane_block=8, interpret=True))
-    mant, ex = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    mant, ex, _ = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
     recon = np.asarray(mant).astype(np.float64) * np.exp2(np.asarray(ex).astype(np.float64))
     ok = plain > 0
     np.testing.assert_allclose(recon[ok], plain[ok], rtol=1e-6)
@@ -122,7 +122,7 @@ def test_scaled_kernel_deep_lanes_vs_f64():
     packed = batch_mod.pack_pairs([hap] * 8, reads, quals, lane_multiple=8)
     args = (packed.hap, packed.read, packed.q, packed.iq, packed.dq,
             packed.gcp, packed.haplen, packed.rslen)
-    mant, ex = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
+    mant, ex, _ = pairhmm_raw_pallas_scaled(*args, lane_block=8, interpret=True)
     res_scaled = (np.log10(np.asarray(mant).astype(np.float64))
                   + (np.asarray(ex).astype(np.float64) - 120.0) * np.log10(2.0))
     raw64 = np.asarray(pairhmm_raw(*args, dtype="float64"))
