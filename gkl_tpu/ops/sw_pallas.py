@@ -1,8 +1,8 @@
 """Smith-Waterman score+backtrack kernel in Pallas (TPU fast path).
 
 Same recurrence and backtrack codes as ``ops/sw.py`` (semantics from
-``PairWiseSW.h:27-263``), with the DP state in VMEM scratch across a
-``fori_loop`` over reference rows:
+``PairWiseSW.h:27-263``), with the DP state in VMEM scratch across the
+grid and a ``fori_loop`` over reference rows:
 
 * H/F carry as (M, LANE_BLOCK) int32 tiles; the within-row E recurrence
   ``E[j] = max(g[j], E[j-1] + w)`` has a CONSTANT increment ``w =
@@ -10,11 +10,13 @@ Same recurrence and backtrack codes as ``ops/sw.py`` (semantics from
   scalar add and one max per level;
 * backtrack row pairs nibble-pack in VMEM before the HBM store (rows
   2k/2k+1 in the low/high nibble), halving the O(N*M) write that dominated
-  the call; only the lane-major transpose runs as an XLA pass afterwards.
-
-The VMEM budget caps the padded problem at roughly N*M <= 190k cells per
-lane block (e.g. 384x384); the caller falls back to the jnp scan kernel
-beyond that.
+  the call; only the lane-major transpose runs as an XLA pass afterwards;
+* the reference axis streams in CHUNK-row blocks over a second
+  (sequential) grid dimension: the H/F state persists in scratch across
+  grid steps, while each step's backtrack block spills to HBM.  VMEM
+  therefore bounds only M (the alternate length, <= ~2048) and the chunk,
+  NOT N*M — device coverage extends to the full 2048x2048 bucket range
+  instead of ~384x384.
 """
 
 from __future__ import annotations
@@ -32,13 +34,28 @@ LANE_BLOCK = 128
 # scan-mask floor: far below any real score, far above i32 overflow when
 # level offsets (<= N*|w|) are added
 _SCAN_LOW = -(2**30)
+# per-chunk backtrack block budget (u8 bytes); the remaining state tiles
+# add ~20 bytes/cell of (M, LANE_BLOCK)
+_CHUNK_BT_BUDGET = 6 << 20
+
+
+def _pick_chunk(N: int, M: int, lane_block: int) -> int:
+    """Largest divisor of N (multiple of 4) whose backtrack block fits the
+    per-chunk VMEM budget.  Bucketed lengths are multiples of 8, so a
+    4-divisor always exists."""
+    best = 4
+    for ch in range(4, N + 1, 4):
+        if N % ch == 0 and (ch // 2) * M * lane_block <= _CHUNK_BT_BUDGET:
+            best = ch
+    return best
 
 
 def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
             wm_ref, wx_ref, wo_ref, we_ref,
             bt_ref, lastrow_ref, lastcol_ref, h_ref, f_ref, prev_bt_ref):
     M, LP = h_ref.shape
-    N = ref_ref.shape[0]
+    CH = ref_ref.shape[0]  # rows in this grid step's chunk
+    jgrid = pl.program_id(1)
     i32 = jnp.int32
 
     col_iota = jax.lax.broadcasted_iota(i32, (M, LP), 0)
@@ -68,20 +85,22 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
     def shift1(v, first):
         return jnp.where(col_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
 
-    if indel_boundary:
-        h0 = w_open + col_iota * w_extend  # H(0, j), j = col_iota + 1
-    else:
-        h0 = jnp.zeros((M, LP), i32)
-    h_ref[:] = h0
-    f_ref[:] = jnp.full((M, LP), low, i32)
-    lastrow_ref[:] = jnp.zeros((M, LP), i32)
-
-    def body(i, carry, parity=None):
-        # row index i is 1-based
-        rc = ref_ref[pl.ds(i - 1, 1), :]  # (1, LP)
+    @pl.when(jgrid == 0)
+    def _init():
         if indel_boundary:
-            b_i = w_open + (i - 1) * w_extend  # (1, LP); H(i, 0)
-            b_prev = jnp.where(i - 1 >= 1, w_open + (i - 2) * w_extend, 0)
+            h0 = w_open + col_iota * w_extend  # H(0, j), j = col_iota + 1
+        else:
+            h0 = jnp.zeros((M, LP), i32)
+        h_ref[:] = h0
+        f_ref[:] = jnp.full((M, LP), low, i32)
+        lastrow_ref[:] = jnp.zeros((M, LP), i32)
+
+    def body(lrow, r, parity):
+        # lrow: chunk-local 0-based row; r: global 1-based row (traced)
+        rc = ref_ref[pl.ds(lrow, 1), :]  # (1, LP)
+        if indel_boundary:
+            b_i = w_open + (r - 1) * w_extend  # (1, LP); H(i, 0)
+            b_prev = jnp.where(r - 1 >= 1, w_open + (r - 2) * w_extend, 0)
         else:
             b_i = jnp.zeros((1, LP), i32)
             b_prev = jnp.zeros((1, LP), i32)
@@ -129,47 +148,41 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
         # row-pair nibble packing in VMEM: halves the backtrack HBM write
         # and removes the separate XLA pack pass (~40% of the old call).
         # Under the 4-row unrolled loop the parity is static per slot.
-        def _stash():
+        if parity == 1:
             prev_bt_ref[:] = bt.astype(jnp.uint8)
-
-        def _emit():
-            bt_ref[pl.ds(i // 2 - 1, 1), :, :] = (
+        else:
+            bt_ref[pl.ds((lrow - 1) // 2, 1), :, :] = (
                 prev_bt_ref[:].astype(jnp.int32) | (bt << 4)
             ).astype(jnp.uint8)[None]
 
-        if parity is None:
-            pl.when(i % 2 == 1)(_stash)
-            pl.when(i % 2 == 0)(_emit)
-        elif parity == 1:
-            _stash()
-        else:
-            _emit()
-
         lc = jnp.max(jnp.where(lastcol_onehot, h_new, scan_low), axis=0, keepdims=True)
-        lastcol_ref[pl.ds(i - 1, 1), :] = lc
-        lastrow_ref[:] = jnp.where(i == reflen, h_new, lastrow_ref[:])
+        lastcol_ref[pl.ds(lrow, 1), :] = lc
+        lastrow_ref[:] = jnp.where(r == reflen, h_new, lastrow_ref[:])
 
         h_ref[:] = h_new
         f_ref[:] = f_new
+
+    # 4-row unrolled groups pipeline better AND make the pack parity static
+    # (no predicated regions); chunk sizes are multiples of 4
+    base = jgrid * jnp.int32(CH)
+
+    def group(c, carry):
+        for k in range(4):
+            lrow = c * 4 + jnp.int32(k)
+            body(lrow, base + lrow + 1, parity=(k + 1) % 2)
         return carry
 
-    if N % 4 == 0:
-        # 4-row unrolled chunks pipeline better AND make the pack parity
-        # static (no predicated regions)
-        def chunk(c, carry):
-            for k in range(4):
-                body(c * 4 + jnp.int32(k + 1), carry, parity=(k + 1) % 2)
-            return carry
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(N // 4), chunk, jnp.int32(0))
-    else:
-        jax.lax.fori_loop(jnp.int32(1), jnp.int32(N + 1), body, jnp.int32(0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH // 4), group, jnp.int32(0))
 
 
 def sw_pallas_fits(N: int, M: int, lane_block: int = LANE_BLOCK) -> bool:
-    """VMEM budget: the (N//2, M, LANE_BLOCK) row-packed backtrack block
-    plus the int32 state/input tiles."""
-    return (N // 2) * M * lane_block + 12 * M * lane_block * 4 <= 13 * (1 << 20)
+    """The reference axis streams in chunks, so VMEM bounds only the
+    (M, LANE_BLOCK) state tiles plus the minimum 4-row backtrack block."""
+    return (
+        N % 4 == 0
+        and M % 2 == 0
+        and M * lane_block * 24 + 2 * M * lane_block <= 13 * (1 << 20)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("indel_boundary", "lane_block", "interpret"))
@@ -182,7 +195,7 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
     """
     N, P = ref.shape
     M = alt.shape[0]
-    assert N % 2 == 0 and P % lane_block == 0
+    assert N % 4 == 0 and P % lane_block == 0, (N, P)
     i32 = jnp.int32
 
     ref_i = ref.astype(i32)
@@ -195,30 +208,40 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
     reflen2 = reflen.astype(i32)[None, :]
     altlen2 = altlen.astype(i32)[None, :]
 
-    grid = (P // lane_block,)
+    CH = _pick_chunk(N, M, lane_block)
+    grid = (P // lane_block, N // CH)
 
     def lane_spec(*dims):
         nd = len(dims)
         return pl.BlockSpec(
             (*dims, lane_block),
-            lambda i: tuple([jnp.int32(0)] * nd) + (i,),
+            lambda i, j: tuple([jnp.int32(0)] * nd) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def chunk_spec(*dims):
+        # leading dim indexed by the sequential reference-chunk axis
+        nd = len(dims) - 1
+        return pl.BlockSpec(
+            (*dims, lane_block),
+            lambda i, j: (j,) + tuple([jnp.int32(0)] * nd) + (i,),
             memory_space=pltpu.VMEM,
         )
 
     in_specs = [
-        lane_spec(N),  # ref
-        lane_spec(M),  # alt
-        lane_spec(1),  # reflen
-        lane_spec(1),  # altlen
-        lane_spec(1),  # wm
-        lane_spec(1),  # wx
-        lane_spec(1),  # wo
-        lane_spec(1),  # we
+        chunk_spec(CH),  # ref (streamed)
+        lane_spec(M),    # alt
+        lane_spec(1),    # reflen
+        lane_spec(1),    # altlen
+        lane_spec(1),    # wm
+        lane_spec(1),    # wx
+        lane_spec(1),    # wo
+        lane_spec(1),    # we
     ]
     out_specs = [
-        lane_spec(N // 2, M),  # bt (row-pair nibble-packed u8)
-        lane_spec(M),          # lastrow
-        lane_spec(N),          # lastcol
+        chunk_spec(CH // 2, M),  # bt (row-pair nibble-packed u8, streamed)
+        lane_spec(M),            # lastrow
+        chunk_spec(CH),          # lastcol (streamed)
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((N // 2, M, P), jnp.uint8),

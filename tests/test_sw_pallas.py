@@ -32,5 +32,9 @@ def test_interpret_bit_parity(indel_boundary):
 
 def test_fits_budget():
     assert sw_pallas_fits(160, 160)
-    assert sw_pallas_fits(384, 384)  # row-packing halved the bt block
-    assert not sw_pallas_fits(768, 768)
+    assert sw_pallas_fits(384, 384)
+    # reference-axis streaming: VMEM bounds only M, so the full device
+    # bucket range (<= 2048 x 2048) fits
+    assert sw_pallas_fits(2048, 2048)
+    assert not sw_pallas_fits(2048, 4096)
+    assert not sw_pallas_fits(162, 160)  # N must be a multiple of 4
