@@ -254,13 +254,15 @@ class PDHMM:
                 "pdhmm", items=n, cells=cells, seconds=_time.perf_counter() - t0
             )
 
+        out = out[inv]  # undo the haplotype grouping
         # Validity checks (pdhmm-serial.cc:432-442): log10 prob must be <= 0.
+        # Run in caller order so reported indices match the caller's pairs.
         bad = ~np.isfinite(out) & ~np.isneginf(out) | (out > 0.0)
         if np.any(bad):
             raise RuntimeError(
                 f"PDHMM produced invalid log10 probabilities at indices {np.nonzero(bad)[0][:10]}"
             )
-        return out[inv]  # undo the haplotype grouping
+        return out
 
     # ------------------------------------------------------------------
     def compute_pdhmm(

@@ -214,7 +214,8 @@ class SmithWaterman:
             for c, k in enumerate(idxs):
                 n, m = int(reflen[c]), int(altlen[c])
                 out[k] = self._postprocess(
-                    bt[c], n, m, M, np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
+                    bt[c], n, m, bt.shape[2],  # stride may exceed M (pow2 pad)
+                    np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
                 )
 
         for k in scalar_idx:

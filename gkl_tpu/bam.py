@@ -171,6 +171,9 @@ def parse_records(payload: bytes, offset: int, limit: int | None = None):
     while offset + 4 <= n:
         (block_size,) = u("<i", payload, offset)
         start = offset + 4
+        if block_size < 32:  # minimum fixed record size; also guards against
+            # a corrupt non-positive block_size looping forever
+            raise ValueError("truncated BAM record")
         offset = start + block_size
         if offset > n:
             raise ValueError("truncated BAM record")
@@ -179,6 +182,10 @@ def parse_records(payload: bytes, offset: int, limit: int | None = None):
         mapq = payload[start + 9]
         (n_cigar_op, flag) = u("<HH", payload, start + 12)
         (l_seq,) = u("<i", payload, start + 16)
+        if l_seq < 0 or l_read_name < 1 or (
+            32 + l_read_name + 4 * n_cigar_op + (l_seq + 1) // 2 + l_seq > block_size
+        ):
+            raise ValueError("corrupt BAM record (sections exceed block size)")
         p = start + 32
         name = payload[p : p + l_read_name - 1].decode("ascii")
         p += l_read_name

@@ -42,7 +42,15 @@ int gkl_bam_count(const uint8_t* payload, int64_t len, int64_t offset,
     const uint8_t* r = payload + start;
     uint8_t l_read_name = r[8];
     int32_t l_seq = rd_i32(r + 16);
-    if (l_seq < 0) return -1;
+    uint16_t n_cig = rd_u16(r + 12);
+    // The variable-length sections must fit inside block_size, or a
+    // corrupt/truncated record (oversized l_seq / n_cigar_op) would drive
+    // the unpack loops past the record and potentially past the payload.
+    if (l_seq < 0 || l_read_name < 1 ||
+        32 + (int64_t)l_read_name + 4 * (int64_t)n_cig +
+                ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq >
+            (int64_t)block_size)
+      return -1;
     seq_bytes += l_seq;
     name_bytes += l_read_name;  // includes the NUL
     offset = start + block_size;
@@ -78,6 +86,13 @@ int64_t gkl_bam_scan(const uint8_t* payload, int64_t len, int64_t offset,
     uint16_t n_cig = rd_u16(r + 12);
     flag[n] = rd_u16(r + 14);
     int32_t ls = rd_i32(r + 16);
+    // same bounds check as gkl_bam_count (the two passes may see different
+    // payloads if the caller mutates between calls)
+    if (ls < 0 || l_read_name < 1 ||
+        32 + (int64_t)l_read_name + 4 * (int64_t)n_cig +
+                ((int64_t)ls + 1) / 2 + (int64_t)ls >
+            (int64_t)block_size)
+      return -1;
     l_seq_arr[n] = ls;
 
     const uint8_t* p = r + 32;

@@ -589,11 +589,12 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
     must be a multiple of ``lane_block``.  ``prep`` selects how per-row
     transition probabilities are produced:
 
-    * "arith64" (default) — f64 closed forms replicating the table
-      construction (match-to-match bit-exact, ph2pr <= 1 ulp of powf; golden
-      104-case max err identical to exact tables).  The one-hot/table
-      alternatives materialise (R*P, 128) one-hots whose HBM traffic costs
-      more than the DP kernel itself;
+    * "arith64" (default) — all-f32 closed forms replicating the table
+      construction (match-to-match <= ~1.7e-7 relative vs the exact table,
+      ph2pr <= 1 ulp of powf; golden 104-case max err identical to exact
+      tables).  The one-hot/table alternatives materialise (R*P, 128)
+      one-hots whose HBM traffic costs more than the DP kernel itself;
+      "mxu" is the bit-exact option;
     * "mxu" — exact table values via one-hot matmul gathers (bit-identical
       to the context tables, bandwidth-heavy);
     * "table" — plain vector gathers (exact, scalar-core-slow on TPU; fine
@@ -611,10 +612,10 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
     dm = (dq & 127).astype(jnp.int32)
     cm = (gcp & 127).astype(jnp.int32)
     if prep == "arith64":
-        # default on TPU: closed forms — m2m mixed f32/f64 (the 1-p
-        # cancellation needs f64), ph2pr in f32 (<= 1 ulp of the powf
-        # table); no HBM-bound one-hot materialisation, and only two
-        # emulated-f64 transcendental passes in total
+        # default on TPU: all-f32 closed forms with explicit range
+        # reduction for the 1-p cancellation (see _m2m_arith64; ~1.7e-7
+        # relative vs the exact table); no HBM-bound one-hot
+        # materialisation and no emulated-f64 transcendentals
         p_mm = _m2m_arith64(im, dm)
         ph2pr_c = _ph2pr_arith(cm)
         p_mx = _ph2pr_arith(im)

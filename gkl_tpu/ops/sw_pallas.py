@@ -34,19 +34,27 @@ LANE_BLOCK = 128
 # scan-mask floor: far below any real score, far above i32 overflow when
 # level offsets (<= N*|w|) are added
 _SCAN_LOW = -(2**30)
-# per-chunk backtrack block budget (u8 bytes); the remaining state tiles
-# add ~20 bytes/cell of (M, LANE_BLOCK)
-_CHUNK_BT_BUDGET = 6 << 20
 
 
 def _pick_chunk(N: int, M: int, lane_block: int) -> int:
-    """Largest divisor of N (multiple of 4) whose backtrack block fits the
-    per-chunk VMEM budget.  Bucketed lengths are multiples of 8, so a
-    4-divisor always exists."""
-    best = 4
-    for ch in range(4, N + 1, 4):
-        if N % ch == 0 and (ch // 2) * M * lane_block <= _CHUNK_BT_BUDGET:
-            best = ch
+    """Largest reference-chunk size whose TOTAL VMEM footprint fits.
+
+    Joint accounting calibrated against measured scoped-vmem failures on
+    v5e (16 MB limit): per (M, lane_block) cell the kernel holds ~9 B of
+    scratch (H/F i32 + packed-bt u8) plus ~24 B of multi-buffered
+    alt/lastrow tiles, and each streamed chunk block (bt nibbles) is
+    ~3x-buffered by the pipeline; ~2 MB of slack covers Mosaic temporaries.
+    Measured: (N=2048, M=2048) passes at CH=8 and OOMs at CH=16, which this
+    model reproduces.  CH must divide N and (lastcol block sublane rule)
+    be a multiple of 8 — or equal N, which Mosaic exempts."""
+    cell = M * lane_block
+    budget = 14 * (1 << 20) - 33 * cell
+    best = 0
+    for ch in range(8, N + 1, 8):
+        if N % ch == 0 and 3 * (ch // 2) * cell <= budget:
+            best = max(best, ch)
+    if best == 0:
+        best = N if N % 8 else 8  # CH == N escapes the %8 block rule
     return best
 
 
@@ -175,14 +183,25 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH // 4), group, jnp.int32(0))
 
 
+def _pad_m(M: int) -> int:
+    """Alt-axis padding: beyond 512 rows, non-power-of-two sublane counts
+    cost Mosaic several extra MB of roll temporaries (measured: M=1792 OOMs
+    where M=2048 fits), so the kernel pads M up to the next power of two."""
+    if M <= 512:
+        return M
+    p = 1024
+    while p < M:
+        p <<= 1
+    return p
+
+
 def sw_pallas_fits(N: int, M: int, lane_block: int = LANE_BLOCK) -> bool:
-    """The reference axis streams in chunks, so VMEM bounds only the
-    (M, LANE_BLOCK) state tiles plus the minimum 4-row backtrack block."""
-    return (
-        N % 4 == 0
-        and M % 2 == 0
-        and M * lane_block * 24 + 2 * M * lane_block <= 13 * (1 << 20)
-    )
+    """True when the streamed kernel's VMEM model (see _pick_chunk) admits
+    the bucket at its minimum chunk (CH=8): 45 B per (padded-M, lane_block)
+    cell against the 16 MB scoped-vmem limit with 2 MB slack.  M=2048 at
+    128 lanes passes (verified on v5e), M=4096 does not; halving lane_block
+    scales the ceiling up proportionally."""
+    return N % 4 == 0 and M % 2 == 0 and 45 * _pad_m(M) * lane_block <= 14 * (1 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("indel_boundary", "lane_block", "interpret"))
@@ -190,13 +209,23 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
                       gap_extend, *, indel_boundary: bool,
                       lane_block: int = LANE_BLOCK, interpret: bool = False):
     """Same contract as ``sw.sw_forward(..., pack_bt=True)``: returns
-    (bt row-pair-packed (P, N//2, M) uint8 — rows 2k/2k+1 in the low/high
-    nibble — lastrow (M, P) int32, lastcol (N, P) int32).
+    (bt row-pair-packed (P, N//2, M') uint8 — rows 2k/2k+1 in the low/high
+    nibble — lastrow (M', P) int32, lastcol (N, P) int32), where M' is M
+    padded to a power of two beyond 512 (callers must use the returned
+    stride, not the input M).
     """
     N, P = ref.shape
     M = alt.shape[0]
     assert N % 4 == 0 and P % lane_block == 0, (N, P)
     i32 = jnp.int32
+
+    M_pad = _pad_m(M)
+    if M_pad != M:
+        # padded alt rows sit beyond every lane's altlen: the column scan
+        # only moves information toward higher j, and lastrow/bt reads are
+        # sliced to the real m downstream, so the fill value is irrelevant
+        alt = jnp.pad(alt, ((0, M_pad - M), (0, 0)), constant_values=1)
+        M = M_pad
 
     ref_i = ref.astype(i32)
     alt_i = alt.astype(i32)

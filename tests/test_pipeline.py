@@ -120,3 +120,50 @@ def test_native_scanner_matches_python():
         assert a.cigar == b.cigar
         np.testing.assert_array_equal(a.seq, b.seq)
         np.testing.assert_array_equal(a.qual, b.qual)
+
+
+def _mk_record(name=b"r1", n_cigar=0, l_seq=4, block_size=None):
+    """Serialize one BAM alignment record with controllable (possibly
+    corrupt) sizes."""
+    import struct
+
+    body = struct.pack(
+        "<iiBBHHHiiii", 0, 100, len(name) + 1, 30, 0, n_cigar, 0, l_seq, -1, -1, 0
+    )
+    body += name + b"\x00"
+    body += b"\x00\x00\x00\x00" * n_cigar
+    body += b"\x12" * ((l_seq + 1) // 2)
+    body += b"\x20" * l_seq
+    bs = len(body) if block_size is None else block_size
+    return struct.pack("<i", bs) + body
+
+
+def test_corrupt_bam_record_rejected():
+    """Oversized variable sections / bogus block_size must error, not walk
+    past the record (native scanner) or loop forever (pure Python)."""
+    import pytest
+
+    good = _mk_record()
+    rec = bam_mod.parse_records_native(good, 0)
+    if rec is not None:
+        assert len(rec) == 1 and rec[0].seq.tobytes() == b"AC" * 2
+
+    # l_seq far larger than the record block
+    bad_seq = _mk_record()  # well-formed layout...
+    import struct as _s
+    bad_seq = bytearray(bad_seq)
+    _s.pack_into("<i", bad_seq, 4 + 16, 10_000)  # l_seq field
+    bad_seq = bytes(bad_seq)
+    with pytest.raises(ValueError):
+        list(bam_mod.parse_records(bad_seq, 0))
+    if rec is not None:
+        with pytest.raises(ValueError):
+            bam_mod.parse_records_native(bad_seq, 0)
+
+    # non-positive block_size: must raise, not loop forever
+    bad_bs = _mk_record(block_size=-4)
+    with pytest.raises(ValueError):
+        list(bam_mod.parse_records(bad_bs, 0))
+    if rec is not None:
+        with pytest.raises(ValueError):
+            bam_mod.parse_records_native(bad_bs, 0)

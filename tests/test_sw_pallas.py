@@ -36,5 +36,8 @@ def test_fits_budget():
     # reference-axis streaming: VMEM bounds only M, so the full device
     # bucket range (<= 2048 x 2048) fits
     assert sw_pallas_fits(2048, 2048)
+    # M=4096 measured to exceed v5e VMEM even at the minimum streamed chunk
     assert not sw_pallas_fits(2048, 4096)
     assert not sw_pallas_fits(162, 160)  # N must be a multiple of 4
+    # smaller lane blocks scale the ceiling up proportionally
+    assert sw_pallas_fits(2048, 4096, lane_block=64)
