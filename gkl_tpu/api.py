@@ -88,8 +88,10 @@ class PairHMM:
         self._lane_multiple = lane_multiple
         self.mesh = mesh
         if mesh is not None and lane_multiple is None:
-            # lanes must split evenly across dp shards
-            self._lane_multiple = 8 * mesh.size
+            # lanes must split evenly across dp shards, and each shard's
+            # local lane count must fill the Pallas kernel's lane block on
+            # TPU (the mesh path runs the SAME Pallas kernels per shard)
+            self._lane_multiple = (128 if self._use_pallas(0) else 8) * mesh.size
 
     def initialize(self, args: PairHMMNativeArguments) -> None:
         self.args = args
@@ -132,10 +134,20 @@ class PairHMM:
     def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
         H, R = packed.hap.shape[0], packed.read.shape[0]
         if self.mesh is not None and dtype == "float32":
-            from .parallel import pairhmm_raw_sharded
+            from . import parallel
 
+            P = packed.hap.shape[1]
+            pallas_ok = self._use_pallas(0) and P % (128 * self.mesh.size) == 0
             with self.mesh:
-                raw = pairhmm_raw_sharded(self.mesh, packed, dtype="float32")
+                # mesh path keeps the Pallas fast path (the reference
+                # parallelizes its fast kernel, IntelPairHmm.cc:151-153);
+                # jnp engines are only the non-TPU fallback
+                if pallas_ok and H <= self.PALLAS_MAX_HAP:
+                    raw = parallel.pairhmm_raw_pallas_sharded(self.mesh, packed)
+                elif pallas_ok and self._cols_kernel_fits(H, R):
+                    raw = parallel.pairhmm_raw_pallas_cols_sharded(self.mesh, packed)
+                else:
+                    raw = parallel.pairhmm_raw_sharded(self.mesh, packed, dtype="float32")
             return np.asarray(raw)[: packed.n_real]
         if dtype == "float32" and self._use_pallas(0):
             if H <= self.PALLAS_MAX_HAP:
@@ -200,14 +212,24 @@ class PairHMM:
         import os
 
         H, R = packed.hap.shape[0], packed.read.shape[0]
-        if not (self._use_pallas(H) and R % 4 == 0 and self.mesh is None):
+        if not (self._use_pallas(H) and R % 4 == 0):
             return None
-        from .ops import pairhmm_pallas
+        if self.mesh is not None:
+            if packed.hap.shape[1] % (128 * self.mesh.size):
+                return None
+            from . import parallel
 
-        mant, ex, flag = pairhmm_pallas.pairhmm_raw_pallas_scaled(
-            packed.hap, packed.read, packed.q, packed.iq, packed.dq,
-            packed.gcp, packed.haplen, packed.rslen, lane_block=128,
-        )
+            with self.mesh:
+                mant, ex, flag = parallel.pairhmm_raw_pallas_scaled_sharded(
+                    self.mesh, packed
+                )
+        else:
+            from .ops import pairhmm_pallas
+
+            mant, ex, flag = pairhmm_pallas.pairhmm_raw_pallas_scaled(
+                packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+                packed.gcp, packed.haplen, packed.rslen, lane_block=128,
+            )
         mant = np.asarray(mant, dtype=np.float64)[: packed.n_real]
         ex = np.asarray(ex, dtype=np.float64)[: packed.n_real]
         flag = np.asarray(flag)[: packed.n_real]

@@ -83,7 +83,12 @@ class PDHMM:
         self._lane_multiple = lane_multiple
         self.mesh = mesh
         if mesh is not None and lane_multiple is None:
-            self._lane_multiple = 8 * mesh.size
+            # per-shard lanes must fill the Pallas lane block on TPU
+            pallas = (
+                utils.is_tpu_available()
+                and __import__("os").environ.get("GKL_TPU_PALLAS") != "0"
+            )
+            self._lane_multiple = (128 if pallas else 8) * mesh.size
 
     def initialize(self, args: PDHMMNativeArguments) -> None:
         self.args = args
@@ -130,10 +135,17 @@ class PDHMM:
                                      haplen.astype(np.int32),
                                      rslen.astype(np.int32), hap.shape[1])
                 with self.mesh:
-                    raw = np.asarray(
-                        parallel.pdhmm_raw_sharded(self.mesh, packed, hap_pd,
-                                                   states, dtype="float32")
-                    )
+                    if use_pallas and hap.shape[1] % (128 * self.mesh.size) == 0:
+                        # mesh path keeps the Pallas fast path per shard
+                        raw = np.asarray(
+                            parallel.pdhmm_raw_pallas_sharded(
+                                self.mesh, packed, hap_pd, states)
+                        )
+                    else:
+                        raw = np.asarray(
+                            parallel.pdhmm_raw_sharded(self.mesh, packed, hap_pd,
+                                                       states, dtype="float32")
+                        )
             elif use_pallas:
                 from .ops import pdhmm_pallas
 

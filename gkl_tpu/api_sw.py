@@ -69,7 +69,8 @@ class SmithWaterman:
         self._lane_multiple = lane_multiple
         self.mesh = mesh
         if mesh is not None and lane_multiple is None:
-            self._lane_multiple = 8 * mesh.size
+            # per-shard lanes must fill the Pallas lane block on TPU
+            self._lane_multiple = (128 if self._use_pallas(8, 8, 128) else 8) * mesh.size
         self._native = native_lib.load("gkl_sw_runtime")
         if self._native is not None:
             u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -175,14 +176,24 @@ class SmithWaterman:
                 from . import parallel
 
                 with self.mesh:
-                    bt, lastrow, lastcol = parallel.sw_forward_sharded(
-                        self.mesh, ref_a, alt_a, reflen, altlen, parameters,
-                        indel_boundary=indel_boundary,
-                    )
-                # unsharded path below packs 2 codes/byte along rows; the
-                # sharded jnp engine returns unpacked codes — pack on host
-                bt = np.ascontiguousarray(np.asarray(bt))
-                bt = bt[:, 0::2, :] | (bt[:, 1::2, :] << 4)
+                    if self._use_pallas(N, M, P) and P % (128 * self.mesh.size) == 0:
+                        # mesh path keeps the Pallas fast path: each shard
+                        # runs the same kernel on its lanes (shard_map)
+                        bt, lastrow, lastcol = parallel.sw_forward_pallas_sharded(
+                            self.mesh, ref_a, alt_a, reflen, altlen, parameters,
+                            indel_boundary=indel_boundary,
+                        )
+                        bt = np.ascontiguousarray(np.asarray(bt))
+                    else:
+                        bt, lastrow, lastcol = parallel.sw_forward_sharded(
+                            self.mesh, ref_a, alt_a, reflen, altlen, parameters,
+                            indel_boundary=indel_boundary,
+                        )
+                        # unsharded path below packs 2 codes/byte along rows;
+                        # the sharded jnp engine returns unpacked codes —
+                        # pack on host
+                        bt = np.ascontiguousarray(np.asarray(bt))
+                        bt = bt[:, 0::2, :] | (bt[:, 1::2, :] << 4)
             elif self._use_pallas(N, M, P):
                 from .ops import sw_pallas
 

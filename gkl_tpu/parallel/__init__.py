@@ -15,9 +15,14 @@ from .distributed import (
 )
 from .mesh import (
     data_parallel_mesh,
+    pairhmm_raw_pallas_scaled_sharded,
+    pairhmm_raw_pallas_sharded,
+    pairhmm_raw_pallas_cols_sharded,
     pairhmm_raw_sharded,
+    pdhmm_raw_pallas_sharded,
     pdhmm_raw_sharded,
     shard_pairs,
+    sw_forward_pallas_sharded,
     sw_forward_sharded,
 )
 
@@ -27,8 +32,13 @@ __all__ = [
     "host_local_slice",
     "initialize",
     "make_global_array",
+    "pairhmm_raw_pallas_scaled_sharded",
+    "pairhmm_raw_pallas_sharded",
+    "pairhmm_raw_pallas_cols_sharded",
     "pairhmm_raw_sharded",
+    "pdhmm_raw_pallas_sharded",
     "pdhmm_raw_sharded",
     "shard_pairs",
+    "sw_forward_pallas_sharded",
     "sw_forward_sharded",
 ]

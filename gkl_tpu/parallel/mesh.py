@@ -66,6 +66,159 @@ def _pairhmm_raw_jit(hap, read, q, iq, dq, gcp, haplen, rslen, dtype):
     return pairhmm_ops.pairhmm_raw(hap, read, q, iq, dq, gcp, haplen, rslen, dtype=dtype)
 
 
+# ---------------------------------------------------------------------------
+# Pallas kernels under the dp mesh.
+#
+# Every DP kernel is lane-local (no cross-lane dependency), so the SPMD form
+# is a plain ``jax.shard_map`` over the lane axis: each device runs the SAME
+# Pallas kernel on its 1/n slice of the lanes, zero collectives.  This is
+# the direct analogue of the reference parallelizing its *fast* AVX kernel
+# with OpenMP (IntelPairHmm.cc:151-153) — the mesh path must not fall back
+# to the ~50x-slower jnp scan engines.  Local lane counts (P / mesh.size)
+# must be a multiple of ``lane_block``; the APIs guarantee this by setting
+# ``lane_multiple = lane_block * mesh.size`` when a mesh is attached.
+
+
+def _shard_lanes(mesh: Mesh, fn, n_in: int, n_vec_in: int, out_specs):
+    """shard_map ``fn`` over ``dp``: the first ``n_in`` args are (len, P)
+    lane-major arrays, the next ``n_vec_in`` are (P,) vectors."""
+    lane = P(None, "dp")
+    vec = P("dp")
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(lane,) * n_in + (vec,) * n_vec_in,
+        out_specs=out_specs,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _pairhmm_pallas_sharded_fn(mesh: Mesh, kernel: str, lane_block: int,
+                               interpret: bool):
+    """Cached jitted shard_map wrapper (a fresh jit per call would retrace
+    and recompile every batch — measured 1.5 s/call vs 0.9 ms)."""
+    from ..ops import pairhmm_pallas, pairhmm_pallas_cols
+
+    if kernel == "scaled":
+        inner = functools.partial(
+            pairhmm_pallas.pairhmm_raw_pallas_scaled,
+            lane_block=lane_block, interpret=interpret)
+        out = (P("dp"),) * 3
+    elif kernel == "cols":
+        inner = functools.partial(
+            pairhmm_pallas_cols.pairhmm_raw_pallas_cols,
+            lane_block=lane_block, interpret=interpret)
+        out = P("dp")
+    else:
+        inner = functools.partial(
+            pairhmm_pallas.pairhmm_raw_pallas,
+            lane_block=lane_block, interpret=interpret)
+        out = P("dp")
+
+    def local(hap, read, q, iq, dq, gcp, haplen, rslen):
+        return inner(hap, read, q, iq, dq, gcp, haplen, rslen)
+
+    # host->device transfer rides the jit dispatch fast path via
+    # in_shardings: eight eager device_puts per call cost ~3.7 ms where the
+    # jit-managed transfer is overlapped (~1 ms total)
+    ls, vs = lane_sharding(mesh), vec_sharding(mesh)
+    return jax.jit(_shard_lanes(mesh, local, 6, 2, out),
+                   in_shardings=(ls,) * 6 + (vs,) * 2)
+
+
+def _run_pairhmm_sharded(mesh, packed, kernel, lane_block, interpret):
+    fn = _pairhmm_pallas_sharded_fn(mesh, kernel, lane_block, interpret)
+    return fn(packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+              packed.gcp, packed.haplen, packed.rslen)
+
+
+def pairhmm_raw_pallas_sharded(mesh: Mesh, packed, *, lane_block: int = 128,
+                               interpret: bool = False):
+    """Plain-f32 Pallas PairHMM forward, lane-sharded over the dp mesh."""
+    return _run_pairhmm_sharded(mesh, packed, "rows", lane_block, interpret)
+
+
+def pairhmm_raw_pallas_scaled_sharded(mesh: Mesh, packed, *,
+                                      lane_block: int = 128,
+                                      interpret: bool = False):
+    """Scaled-f32 Pallas PairHMM (mantissa, exp2, flag), lane-sharded.
+
+    This is the production multi-chip path: one pass computes every lane at
+    unlimited dynamic range, so the rescue logic needs no second device
+    sweep (api.PairHMM._forward_scaled)."""
+    return _run_pairhmm_sharded(mesh, packed, "scaled", lane_block, interpret)
+
+
+def pairhmm_raw_pallas_cols_sharded(mesh: Mesh, packed, *,
+                                    lane_block: int = 128,
+                                    interpret: bool = False):
+    """Column-sweep Pallas PairHMM (long haplotypes), lane-sharded."""
+    return _run_pairhmm_sharded(mesh, packed, "cols", lane_block, interpret)
+
+
+@functools.lru_cache(maxsize=128)
+def _pdhmm_pallas_sharded_fn(mesh: Mesh, lane_block: int, interpret: bool):
+    from ..ops import pdhmm_pallas
+
+    def local(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen):
+        return pdhmm_pallas.pdhmm_raw_pallas(
+            hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+            lane_block=lane_block, interpret=interpret,
+        )
+
+    ls, vs = lane_sharding(mesh), vec_sharding(mesh)
+    return jax.jit(_shard_lanes(mesh, local, 8, 2, P("dp")),
+                   in_shardings=(ls,) * 8 + (vs,) * 2)
+
+
+def pdhmm_raw_pallas_sharded(mesh: Mesh, packed, hap_pd, states, *,
+                             lane_block: int = 128, interpret: bool = False):
+    """Pallas PDHMM forward, lane-sharded over the dp mesh."""
+    fn = _pdhmm_pallas_sharded_fn(mesh, lane_block, interpret)
+    return fn(packed.hap, np.asarray(hap_pd), np.asarray(states),
+              packed.read, packed.q, packed.iq, packed.dq, packed.gcp,
+              packed.haplen, packed.rslen)
+
+
+@functools.lru_cache(maxsize=128)
+def _sw_pallas_sharded_fn(mesh: Mesh, params_key: tuple, indel_boundary: bool,
+                          lane_block: int, interpret: bool):
+    from ..ops import sw_pallas
+
+    match, mismatch, gap_open, gap_extend = params_key
+
+    def local(ref, alt, reflen, altlen):
+        return sw_pallas.sw_forward_pallas(
+            ref, alt, reflen, altlen, match, mismatch, gap_open, gap_extend,
+            indel_boundary=indel_boundary, lane_block=lane_block,
+            interpret=interpret,
+        )
+
+    ls, vs = lane_sharding(mesh), vec_sharding(mesh)
+    return jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "dp"), P(None, "dp"), P("dp"), P("dp")),
+        out_specs=(P("dp", None, None), P(None, "dp"), P("dp", None)),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    ), in_shardings=(ls, ls, vs, vs))
+
+
+def sw_forward_pallas_sharded(mesh: Mesh, ref, alt, reflen, altlen, params,
+                              *, indel_boundary: bool = False,
+                              lane_block: int = 128,
+                              interpret: bool = False):
+    """Pallas SW score+backtrack DP, lane-sharded; returns the kernel's
+    row-pair-packed layout ((P, N//2, M') u8, (M', P) i32, (P, N) i32) with
+    the backtrack tensor sharded over its lane axis."""
+    key = (int(params.match_value), int(params.mismatch_penalty),
+           int(params.gap_open_penalty), int(params.gap_extend_penalty))
+    fn = _sw_pallas_sharded_fn(mesh, key, indel_boundary, lane_block, interpret)
+    return fn(np.asarray(ref), np.asarray(alt),
+              np.asarray(reflen, np.int32), np.asarray(altlen, np.int32))
+
+
 def pairhmm_raw_sharded(mesh: Mesh, packed, dtype: str = "float32"):
     """Run the PairHMM forward on a lane-sharded batch; returns (P,) sharded.
 

@@ -108,3 +108,117 @@ def test_sw_api_with_mesh():
     want = SmithWaterman().align_batch(refs, alts, params, OverhangStrategy.SOFTCLIP)
     assert [(g.cigar, g.alignment_offset) for g in got] == [
         (w.cigar, w.alignment_offset) for w in want]
+
+
+def _packed_batch(P, H=24, R=16, seed=0):
+    from gkl_tpu.batch import PackedPairs
+
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, (H, P))]
+    read = hap[:R].copy()
+    mut = rng.random((R, P)) < 0.1
+    read[mut] = bases[rng.integers(0, 4, int(mut.sum()))]
+    q = rng.integers(20, 40, (R, P)).astype(np.uint8)
+    iq = rng.integers(30, 45, (R, P)).astype(np.uint8)
+    dq = rng.integers(30, 45, (R, P)).astype(np.uint8)
+    gcp = np.full((R, P), 10, np.uint8)
+    haplen = np.full(P, H, np.int32)
+    rslen = np.full(P, R, np.int32)
+    return PackedPairs(hap, read, q, iq, dq, gcp, haplen, rslen, P)
+
+
+def test_pallas_sharded_bit_parity():
+    """The Pallas kernels run per-shard under shard_map (interpret mode on
+    the CPU mesh) and reproduce the unsharded Pallas results bit-for-bit —
+    the mesh path must keep the fast kernels, not the jnp engines."""
+    from gkl_tpu.ops import pairhmm_pallas
+
+    mesh = parallel.data_parallel_mesh(8)
+    packed = _packed_batch(8 * 8)
+    with mesh:
+        out = np.asarray(parallel.pairhmm_raw_pallas_sharded(
+            mesh, packed, lane_block=8, interpret=True))
+    ref = np.asarray(pairhmm_pallas.pairhmm_raw_pallas(
+        packed.hap, packed.read, packed.q, packed.iq, packed.dq, packed.gcp,
+        packed.haplen, packed.rslen, lane_block=8, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+    with mesh:
+        m, e, f = parallel.pairhmm_raw_pallas_scaled_sharded(
+            mesh, packed, lane_block=8, interpret=True)
+    m2, e2, f2 = pairhmm_pallas.pairhmm_raw_pallas_scaled(
+        packed.hap, packed.read, packed.q, packed.iq, packed.dq, packed.gcp,
+        packed.haplen, packed.rslen, lane_block=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f2))
+
+
+def test_pallas_sharded_sw_pdhmm_bit_parity():
+    from gkl_tpu.api_sw import SWParameters
+    from gkl_tpu.ops import pdhmm as pdhmm_ops
+    from gkl_tpu.ops import pdhmm_pallas, sw_pallas
+
+    mesh = parallel.data_parallel_mesh(8)
+    packed = _packed_batch(8 * 8)
+    params = SWParameters(200, -150, -260, -11)
+    with mesh:
+        bt, lr, lc = parallel.sw_forward_pallas_sharded(
+            mesh, packed.hap, packed.read, packed.haplen, packed.rslen,
+            params, lane_block=8, interpret=True)
+    bt2, lr2, lc2 = sw_pallas.sw_forward_pallas(
+        packed.hap, packed.read, packed.haplen, packed.rslen,
+        200, -150, -260, -11, indel_boundary=False, lane_block=8,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(bt), np.asarray(bt2))
+    np.testing.assert_array_equal(np.asarray(lr), np.asarray(lr2))
+    np.testing.assert_array_equal(np.asarray(lc), np.asarray(lc2))
+
+    hap_pd = np.zeros_like(packed.hap)
+    hap_pd[4, ::2] = 2  # DEL_START
+    hap_pd[7, ::2] = 4  # DEL_END
+    states = pdhmm_ops.column_states(hap_pd)
+    with mesh:
+        raw = np.asarray(parallel.pdhmm_raw_pallas_sharded(
+            mesh, packed, hap_pd, states, lane_block=8, interpret=True))
+    raw2 = np.asarray(pdhmm_pallas.pdhmm_raw_pallas(
+        packed.hap, hap_pd, states, packed.read, packed.q, packed.iq,
+        packed.dq, packed.gcp, packed.haplen, packed.rslen, lane_block=8,
+        interpret=True))
+    np.testing.assert_array_equal(raw, raw2)
+
+
+def test_api_mesh_selects_pallas(monkeypatch):
+    """PairHMM(mesh=...) must route through the Pallas sharded kernels when
+    Pallas is available (the mesh path may not silently lose the fast
+    path).  TPU availability is faked; kernels run in interpret mode."""
+    import functools
+
+    import golden
+    from gkl_tpu import HaplotypeData, PairHMM, ReadData, utils
+    from gkl_tpu.ops import pairhmm_pallas
+
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+    calls = {"scaled": 0}
+    orig = pairhmm_pallas.pairhmm_raw_pallas_scaled
+
+    def counting(*a, **kw):
+        calls["scaled"] += 1
+        kw["interpret"] = True  # CPU mesh: no Mosaic compile
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pairhmm_pallas, "pairhmm_raw_pallas_scaled", counting)
+
+    mesh = parallel.data_parallel_mesh(8)
+    cases = golden.load_pairhmm_cases()[:3]
+    reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [HaplotypeData(c.hap) for c in cases]
+    # lane_multiple=8*mesh.size keeps the interpret-mode batch small; the
+    # scaled kernel requires lanes % 128*mesh.size == 0 only on real TPU,
+    # so pass an explicit multiple that satisfies the kernel's lane_block
+    hmm = PairHMM(mesh=mesh, lane_multiple=128 * mesh.size)
+    out = hmm.compute_likelihoods(reads, haps)
+    assert calls["scaled"] >= 1, "mesh path did not use the Pallas scaled kernel"
+    expected = np.array([c.expected for c in cases])
+    np.testing.assert_allclose(out.reshape(3, 3).diagonal(), expected, atol=1e-5)
