@@ -1,0 +1,515 @@
+// igzip-class one-shot DEFLATE encoder for levels 1-2.
+//
+// The reference routes levels 1-2 to ISA-L's isal_deflate_stateless
+// (compression/IntelDeflater.cc:184-275): a greedy hash-match LZ77 pass plus
+// a per-block dynamic Huffman code — much faster than zlib at a ratio close
+// to zlib-1.  This is an original implementation of that architecture:
+//
+//   1. tokenize: greedy LZ77, 4-byte hash head table (level 2 additionally
+//      inserts every position inside matches for a denser dictionary);
+//   2. histogram the literal/length and distance symbols;
+//   3. build length-limited canonical Huffman codes (15-bit cap via the
+//      standard bl_count overflow adjustment) and a 7-bit-capped code for
+//      the code-length alphabet;
+//   4. emit ONE block choosing the cheapest of {dynamic, fixed, stored}
+//      from exact bit counts.
+//
+// Output is standard RFC 1951 DEFLATE — byte identity with ISA-L/zlib is
+// not a contract; round-trip and cross-implementation compatibility are.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// bit writer (LSB-first per RFC 1951)
+// ---------------------------------------------------------------------------
+struct BitWriter {
+  uint8_t* out;
+  int cap;
+  int pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  // accumulate only; callers group puts (<= 57 bits) between flushes
+  inline void put_nf(uint32_t bits, int n) {
+    acc |= (uint64_t)bits << nbits;
+    nbits += n;
+  }
+  // spill whole bytes with one 8-byte store (cap check once per flush)
+  inline void flush() {
+    if (pos + 8 > cap) {
+      flush_slow();
+      return;
+    }
+    std::memcpy(out + pos, &acc, 8);
+    int bytes = nbits >> 3;
+    pos += bytes;
+    acc >>= bytes * 8;
+    nbits &= 7;
+  }
+  void flush_slow() {
+    while (nbits >= 8) {
+      if (pos >= cap) {
+        overflow = true;
+        nbits = 0;
+        return;
+      }
+      out[pos++] = (uint8_t)acc;
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  inline void put(uint32_t bits, int n) {
+    put_nf(bits, n);
+    if (nbits >= 48) flush();
+  }
+  void align_byte() {
+    flush_slow();
+    if (nbits > 0) {
+      if (pos >= cap) {
+        overflow = true;
+        return;
+      }
+      out[pos++] = (uint8_t)acc;
+      acc = 0;
+      nbits = 0;
+    }
+  }
+  int finish() {
+    align_byte();
+    return overflow ? -1 : pos;
+  }
+};
+
+inline uint32_t bit_reverse(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; ++i) r |= ((v >> i) & 1u) << (n - 1 - i);
+  return r;
+}
+
+// ---------------------------------------------------------------------------
+// static symbol tables (RFC 1951 §3.2.5)
+// ---------------------------------------------------------------------------
+struct SymTables {
+  uint16_t len_sym[259];       // match length -> litlen symbol 257..285
+  uint8_t len_extra_bits[259];
+  uint16_t len_extra_val[259];
+  uint16_t dist_base[30];
+  uint8_t dist_extra_bits[30];
+
+  SymTables() {
+    static const int lbase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
+                                  15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                                  67, 83, 99, 115, 131, 163, 195, 227, 258};
+    static const int lext[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                                 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+    for (int c = 0; c < 29; ++c) {
+      int hi = (c == 28) ? 258 : lbase[c + 1] - 1;
+      for (int L = lbase[c]; L <= hi && L <= 258; ++L) {
+        len_sym[L] = (uint16_t)(257 + c);
+        len_extra_bits[L] = (uint8_t)lext[c];
+        len_extra_val[L] = (uint16_t)(L - lbase[c]);
+      }
+    }
+    static const int dbase[30] = {1,    2,    3,    4,    5,     7,    9,
+                                  13,   17,   25,   33,   49,    65,   97,
+                                  129,  193,  257,  385,  513,   769,  1025,
+                                  1537, 2049, 3073, 4097, 6145,  8193, 12289,
+                                  16385, 24577};
+    static const int dext[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
+                                 4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
+                                 9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+    for (int c = 0; c < 30; ++c) {
+      dist_base[c] = (uint16_t)dbase[c];
+      dist_extra_bits[c] = (uint8_t)dext[c];
+    }
+    auto bucket_of = [&](int d) {
+      int c = 29;
+      while (dbase[c] > d) --c;
+      return (uint8_t)c;
+    };
+    for (int d = 1; d <= 256; ++d) dbuck_lo[d] = bucket_of(d);
+    dbuck_lo[0] = 0;
+    for (int k = 0; k < 256; ++k) dbuck_hi[k] = bucket_of((k << 7) + 1);
+  }
+
+  uint8_t dbuck_lo[257];   // d in [1, 256]
+  uint8_t dbuck_hi[256];   // d in (256, 32768]: index (d - 1) >> 7
+
+  inline int dist_bucket(int d) const {
+    return d <= 256 ? dbuck_lo[d] : dbuck_hi[(d - 1) >> 7];
+  }
+};
+
+const SymTables kSym;
+
+// ---------------------------------------------------------------------------
+// length-limited canonical Huffman construction
+// ---------------------------------------------------------------------------
+
+// Optimal Huffman depths via the two-queue merge, then the zlib-style
+// bl_count overflow adjustment to cap at `maxlen`, reassigning lengths to
+// symbols by ascending frequency (deepest codes to rarest symbols).
+void build_lengths(const uint32_t* freq, int n, int maxlen, uint8_t* lens) {
+  std::memset(lens, 0, (size_t)n);
+  int order[320];
+  int nu = 0;
+  for (int i = 0; i < n; ++i)
+    if (freq[i]) order[nu++] = i;
+  if (nu == 0) return;
+  if (nu == 1) {
+    lens[order[0]] = 1;
+    return;
+  }
+  std::sort(order, order + nu, [&](int a, int b) {
+    return freq[a] != freq[b] ? freq[a] < freq[b] : a < b;
+  });
+
+  // nodes: [0, nu) leaves in ascending-frequency order, internals appended
+  uint64_t nf[640];
+  int parent[640];
+  uint8_t depth[640];
+  for (int k = 0; k < nu; ++k) nf[k] = freq[order[k]];
+  int li = 0;        // next unmerged leaf
+  int ii = nu;       // next unmerged internal
+  int ic = nu;       // next internal slot
+  auto take = [&]() {
+    int idx;
+    if (li < nu && (ii >= ic || nf[li] <= nf[ii])) idx = li++;
+    else idx = ii++;
+    return idx;
+  };
+  while ((nu - li) + (ic - ii) >= 2) {
+    int a = take();
+    int b = take();
+    nf[ic] = nf[a] + nf[b];
+    parent[a] = ic;
+    parent[b] = ic;
+    ++ic;
+  }
+  int root = ic - 1;
+  if (root < 0) return;  // unreachable (nu >= 2); silences -Wstringop-overflow
+  depth[root] = 0;
+  for (int k = root - 1; k >= 0; --k) depth[k] = (uint8_t)(depth[parent[k]] + 1);
+
+  int bl_count[16];
+  std::memset(bl_count, 0, sizeof(bl_count));
+  // zlib's gen_bitlen invariant: `overflow` counts ALL nodes (leaves and
+  // internals) beyond maxlen — each adjustment iteration then repairs
+  // exactly two of them, ending with a complete (Kraft == 1) code.
+  // Counting only leaves under-subscribes the code, which inflaters
+  // reject ("invalid literal/lengths set").
+  int overflow = 0;
+  for (int k = 0; k < root; ++k)
+    if (depth[k] > maxlen) ++overflow;
+  for (int k = 0; k < nu; ++k) {
+    int d = depth[k];
+    if (d > maxlen) d = maxlen;
+    bl_count[d]++;
+  }
+  while (overflow > 0) {
+    int bits = maxlen - 1;
+    while (bl_count[bits] == 0) --bits;
+    bl_count[bits]--;
+    bl_count[bits + 1] += 2;
+    bl_count[maxlen]--;
+    overflow -= 2;
+  }
+  // rarest symbols get the longest codes: walk lengths long -> short over
+  // the ascending-frequency order
+  int k = 0;
+  for (int bits = maxlen; bits >= 1; --bits)
+    for (int c = 0; c < bl_count[bits]; ++c) lens[order[k++]] = (uint8_t)bits;
+}
+
+// canonical (RFC 1951 §3.2.2) codes from lengths, bit-reversed for the
+// LSB-first writer
+void build_codes(const uint8_t* lens, int n, uint16_t* codes) {
+  int bl_count[16];
+  std::memset(bl_count, 0, sizeof(bl_count));
+  for (int i = 0; i < n; ++i) bl_count[lens[i]]++;
+  bl_count[0] = 0;
+  uint32_t next_code[16];
+  uint32_t code = 0;
+  for (int bits = 1; bits <= 15; ++bits) {
+    code = (code + bl_count[bits - 1]) << 1;
+    next_code[bits] = code;
+  }
+  for (int i = 0; i < n; ++i)
+    codes[i] = lens[i] ? (uint16_t)bit_reverse(next_code[lens[i]]++, lens[i]) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// code-length-sequence RLE (header, RFC 1951 §3.2.7); runs may cross the
+// litlen/dist boundary, so the caller passes the concatenated sequence
+// ---------------------------------------------------------------------------
+struct ClToken {
+  uint8_t sym;
+  uint8_t extra_bits;
+  uint8_t extra_val;
+};
+
+void rle_code_lengths(const uint8_t* seq, int n, std::vector<ClToken>& out) {
+  int i = 0;
+  while (i < n) {
+    uint8_t v = seq[i];
+    int run = 1;
+    while (i + run < n && seq[i + run] == v) ++run;
+    i += run;
+    if (v == 0) {
+      while (run >= 3) {
+        if (run >= 11) {
+          int take = run > 138 ? 138 : run;
+          out.push_back({18, 7, (uint8_t)(take - 11)});
+          run -= take;
+        } else {
+          out.push_back({17, 3, (uint8_t)(run - 3)});
+          run = 0;
+        }
+      }
+      for (; run > 0; --run) out.push_back({0, 0, 0});
+    } else {
+      out.push_back({v, 0, 0});
+      --run;
+      while (run >= 3) {
+        int take = run > 6 ? 6 : run;
+        out.push_back({16, 2, (uint8_t)(take - 3)});
+        run -= take;
+      }
+      for (; run > 0; --run) out.push_back({v, 0, 0});
+    }
+  }
+}
+
+constexpr uint8_t kClOrder[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                  11, 4,  12, 3, 13, 2, 14, 1, 15};
+
+// ---------------------------------------------------------------------------
+// tokenizer: greedy hash-head LZ77
+// ---------------------------------------------------------------------------
+inline uint32_t read32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+inline uint32_t hash4(uint32_t v) { return (v * 2654435761u) >> 17; }  // 15-bit
+
+constexpr int kHashSize = 1 << 15;
+
+}  // namespace
+
+extern "C" {
+
+// One-shot raw-DEFLATE compress with per-block dynamic Huffman; returns
+// bytes written, or -1 when `cap` is too small (callers fall back to zlib).
+int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
+                         int level) {
+  static thread_local std::vector<int32_t> head;
+  static thread_local std::vector<uint32_t> tokens;
+  head.assign(kHashSize, -1);
+  tokens.clear();
+  tokens.reserve((size_t)n / 3 + 16);
+
+  uint32_t lit_freq[286];
+  uint32_t dist_freq[30];
+  std::memset(lit_freq, 0, sizeof(lit_freq));
+  std::memset(dist_freq, 0, sizeof(dist_freq));
+
+  const SymTables& T = kSym;
+  const int limit4 = n - 4;
+  int pos = 0;
+  while (pos < n) {
+    int best_len = 0, best_dist = 0;
+    if (pos <= limit4) {
+      uint32_t v = read32(in + pos);
+      uint32_t h = hash4(v);
+      int cand = head[h];
+      head[h] = pos;
+      if (cand >= 0 && pos - cand <= 32768 && read32(in + cand) == v) {
+        int maxl = n - pos < 258 ? n - pos : 258;
+        int L = 4;
+        while (L + 8 <= maxl) {
+          uint64_t a, b;
+          std::memcpy(&a, in + cand + L, 8);
+          std::memcpy(&b, in + pos + L, 8);
+          uint64_t x = a ^ b;
+          if (x) {
+            L += __builtin_ctzll(x) >> 3;
+            goto extended;
+          }
+          L += 8;
+        }
+        while (L < maxl && in[cand + L] == in[pos + L]) ++L;
+      extended:
+        best_len = L;
+        best_dist = pos - cand;
+      }
+    }
+    if (best_len >= 4) {
+      tokens.push_back((1u << 31) | ((uint32_t)best_len << 16) |
+                       (uint32_t)best_dist);
+      lit_freq[T.len_sym[best_len]]++;
+      dist_freq[T.dist_bucket(best_dist)]++;
+      if (level >= 2) {
+        // denser dictionary: insert every position inside the match
+        int stop = pos + best_len < limit4 + 1 ? pos + best_len : limit4 + 1;
+        for (int q = pos + 1; q < stop; ++q) head[hash4(read32(in + q))] = q;
+      }
+      pos += best_len;
+    } else {
+      uint8_t c = in[pos++];
+      tokens.push_back(c);
+      lit_freq[c]++;
+    }
+  }
+  lit_freq[256]++;  // end of block
+
+  // ---- dynamic code ----
+  uint8_t dyn_lit_lens[288], dyn_dist_lens[30];
+  uint16_t dyn_lit_codes[288], dyn_dist_codes[30];
+  build_lengths(lit_freq, 286, 15, dyn_lit_lens);
+  dyn_lit_lens[286] = dyn_lit_lens[287] = 0;
+  build_lengths(dist_freq, 30, 15, dyn_dist_lens);
+  bool any_dist = false;
+  for (int i = 0; i < 30; ++i) any_dist |= dyn_dist_lens[i] != 0;
+  if (!any_dist) dyn_dist_lens[0] = 1;  // RFC: single 1-bit (unused) code
+  build_codes(dyn_lit_lens, 288, dyn_lit_codes);
+  build_codes(dyn_dist_lens, 30, dyn_dist_codes);
+
+  int nlit = 286;
+  while (nlit > 257 && dyn_lit_lens[nlit - 1] == 0) --nlit;
+  int ndist = 30;
+  while (ndist > 1 && dyn_dist_lens[ndist - 1] == 0) --ndist;
+
+  uint8_t clseq[288 + 30];
+  std::memcpy(clseq, dyn_lit_lens, (size_t)nlit);
+  std::memcpy(clseq + nlit, dyn_dist_lens, (size_t)ndist);
+  std::vector<ClToken> cl;
+  cl.reserve(64);
+  rle_code_lengths(clseq, nlit + ndist, cl);
+
+  uint32_t cl_freq[19];
+  std::memset(cl_freq, 0, sizeof(cl_freq));
+  for (const ClToken& t : cl) cl_freq[t.sym]++;
+  uint8_t cl_lens[19];
+  uint16_t cl_codes[19];
+  build_lengths(cl_freq, 19, 7, cl_lens);
+  build_codes(cl_lens, 19, cl_codes);
+  int ncl = 19;
+  while (ncl > 4 && cl_lens[kClOrder[ncl - 1]] == 0) --ncl;
+
+  // ---- exact bit costs ----
+  long long header_bits = 5 + 5 + 4 + 3LL * ncl;
+  for (const ClToken& t : cl) header_bits += cl_lens[t.sym] + t.extra_bits;
+
+  long long dyn_bits = header_bits;
+  long long fixed_bits = 0;
+  static const uint8_t kFixedLitLens[4] = {8, 9, 7, 8};  // 0-143,144-255,256-279,280-287
+  auto fixed_lit_len = [](int s) {
+    return s < 144 ? 8 : s < 256 ? 9 : s < 280 ? 7 : 8;
+  };
+  for (int s = 0; s < 286; ++s)
+    if (lit_freq[s]) {
+      dyn_bits += (long long)lit_freq[s] * dyn_lit_lens[s];
+      fixed_bits += (long long)lit_freq[s] * fixed_lit_len(s);
+    }
+  for (int s = 0; s < 30; ++s)
+    if (dist_freq[s]) {
+      long long ex = (long long)dist_freq[s] * T.dist_extra_bits[s];
+      dyn_bits += (long long)dist_freq[s] * dyn_dist_lens[s] + ex;
+      fixed_bits += (long long)dist_freq[s] * 5 + ex;
+    }
+  // length extra bits are identical for both
+  {
+    long long lex = 0;
+    for (const uint32_t tok : tokens)
+      if (tok >> 31) lex += T.len_extra_bits[(tok >> 16) & 0x1FF];
+    dyn_bits += lex;
+    fixed_bits += lex;
+  }
+  (void)kFixedLitLens;
+  long long stored_bits = 8LL * (n + 5LL * (n ? (n + 65534) / 65535 : 1));
+
+  BitWriter bw{out, cap};
+
+  if (stored_bits <= dyn_bits + 3 && stored_bits <= fixed_bits + 3) {
+    // ---- stored block(s) ----
+    int off = 0;
+    do {
+      int take = n - off > 65535 ? 65535 : n - off;
+      bw.put(off + take >= n ? 1u : 0u, 1);  // BFINAL on the last piece
+      bw.put(0, 2);                          // BTYPE=00
+      bw.align_byte();
+      if (bw.pos + 4 + take > cap) return -1;
+      out[bw.pos++] = (uint8_t)take;
+      out[bw.pos++] = (uint8_t)(take >> 8);
+      out[bw.pos++] = (uint8_t)(~take);
+      out[bw.pos++] = (uint8_t)(~take >> 8);
+      std::memcpy(out + bw.pos, in + off, (size_t)take);
+      bw.pos += take;
+      off += take;
+    } while (off < n);
+    return bw.finish();
+  }
+
+  const uint8_t* lit_lens = dyn_lit_lens;
+  const uint16_t* lit_codes = dyn_lit_codes;
+  const uint8_t* dist_lens = dyn_dist_lens;
+  const uint16_t* dist_codes = dyn_dist_codes;
+  uint8_t fx_lit_lens[288], fx_dist_lens[30];
+  uint16_t fx_lit_codes[288], fx_dist_codes[30];
+  bool use_fixed = fixed_bits < dyn_bits;
+  if (use_fixed) {
+    for (int s = 0; s < 288; ++s) fx_lit_lens[s] = (uint8_t)fixed_lit_len(s);
+    for (int s = 0; s < 30; ++s) fx_dist_lens[s] = 5;
+    build_codes(fx_lit_lens, 288, fx_lit_codes);
+    build_codes(fx_dist_lens, 30, fx_dist_codes);
+    lit_lens = fx_lit_lens;
+    lit_codes = fx_lit_codes;
+    dist_lens = fx_dist_lens;
+    dist_codes = fx_dist_codes;
+  }
+
+  bw.put(1, 1);                    // BFINAL
+  bw.put(use_fixed ? 1u : 2u, 2);  // BTYPE
+  if (!use_fixed) {
+    bw.put((uint32_t)(nlit - 257), 5);
+    bw.put((uint32_t)(ndist - 1), 5);
+    bw.put((uint32_t)(ncl - 4), 4);
+    for (int i = 0; i < ncl; ++i) bw.put(cl_lens[kClOrder[i]], 3);
+    for (const ClToken& t : cl) {
+      bw.put(cl_codes[t.sym], cl_lens[t.sym]);
+      if (t.extra_bits) bw.put(t.extra_val, t.extra_bits);
+    }
+  }
+  for (const uint32_t tok : tokens) {
+    if (tok >> 31) {
+      // max 15+5+15+13 = 48 bits per match token; preceding literals may
+      // have left up to 47 bits pending, so flush BEFORE accumulating or
+      // the 64-bit accumulator overflows
+      bw.flush();
+      int L = (int)((tok >> 16) & 0x1FF);
+      int d = (int)(tok & 0xFFFF);
+      int ls = T.len_sym[L];
+      bw.put_nf(lit_codes[ls], lit_lens[ls]);
+      bw.put_nf(T.len_extra_val[L], T.len_extra_bits[L]);
+      int dc = T.dist_bucket(d);
+      bw.put_nf(dist_codes[dc], dist_lens[dc]);
+      bw.put_nf((uint32_t)(d - T.dist_base[dc]), T.dist_extra_bits[dc]);
+      bw.flush();
+    } else {
+      bw.put_nf(lit_codes[tok], lit_lens[tok]);
+      if (bw.nbits >= 48) bw.flush();
+    }
+    if (bw.overflow) return -1;
+  }
+  bw.put(lit_codes[256], lit_lens[256]);  // EOB
+  return bw.finish();
+}
+
+}  // extern "C"

@@ -25,7 +25,7 @@ _ALLOWED = ("gkl_sw_runtime", "gkl_codec", "gkl_bam")
 
 _SRC = {
     "gkl_sw_runtime": ["sw_runtime.cc"],
-    "gkl_codec": ["codec.cc"],
+    "gkl_codec": ["codec.cc", "deflate_fast.cc"],
     "gkl_bam": ["bam_scan.cc"],
 }
 

@@ -144,11 +144,11 @@ def test_bam_bgzf_recompress(level):
     assert bgzf.decompress(restream) == payload
 
 
-def test_fast_deflate_mode(monkeypatch):
-    """GKL_TPU_FAST_DEFLATE=1 routes levels 1-2 to the fixed-Huffman fast
-    encoder; output is standard DEFLATE, decodable by the zlib oracle.
-    The env is read once per process by the native lib, so this test drives
-    the encoder through a subprocess."""
+def test_fast_deflate_disabled_mode():
+    """GKL_TPU_FAST_DEFLATE=0 restores zlib for levels 1-2 (the fast
+    dynamic-Huffman encoder is the default, mirroring the reference routing
+    levels 1-2 to ISA-L).  The env is read once per process by the native
+    lib, so this drives the zlib mode through a subprocess."""
     import subprocess
     import sys
 
@@ -156,14 +156,52 @@ def test_fast_deflate_mode(monkeypatch):
         "import zlib, numpy as np\n"
         "from gkl_tpu import compression as comp\n"
         "rng = np.random.default_rng(1)\n"
-        "for data in [bytes(np.frombuffer(b'ACGT', np.uint8)[rng.integers(0,4,100000)]),\n"
-        "             b'hello world ' * 5000, bytes(rng.integers(0,256,65536,dtype=np.uint8))]:\n"
-        "    for level in (1, 2):\n"
-        "        c = comp.raw_deflate(data, level, nowrap=True)\n"
-        "        assert zlib.decompress(c, -zlib.MAX_WBITS) == data\n"
+        "data = bytes(np.frombuffer(b'ACGT', np.uint8)[rng.integers(0,4,100000)])\n"
+        "for level in (1, 2):\n"
+        "    c = comp.raw_deflate(data, level, nowrap=True)\n"
+        "    assert zlib.decompress(c, -zlib.MAX_WBITS) == data\n"
+        "    z = zlib.compressobj(level, zlib.DEFLATED, -zlib.MAX_WBITS)\n"
+        "    assert c == z.compress(data) + z.flush(), 'expected zlib output'\n"
         "print('OK')\n"
     )
-    env = dict(os.environ, GKL_TPU_FAST_DEFLATE="1", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, GKL_TPU_FAST_DEFLATE="0", JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, env=env, cwd=os.path.dirname(DATA_DIR) + "/..")
     assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_fast_deflate_fuzz():
+    """The default levels 1-2 fast encoder round-trips adversarial content
+    through the zlib oracle: Huffman depth-overflow clamping, stored-block
+    fallback, empty/tiny inputs, long zero runs, mixed corpora."""
+    # Fibonacci-weighted symbol frequencies force optimal Huffman depths far
+    # beyond 15, exercising the bl_count overflow adjustment
+    fib = [1, 1]
+    while len(fib) < 32:
+        fib.append(fib[-1] + fib[-2])
+    skew = b"".join(bytes([i]) * fib[i] for i in range(30))
+    rng = np.random.default_rng(7)
+    skew = bytes(np.frombuffer(skew, np.uint8)[rng.permutation(len(skew))])
+    cases = [b"", b"a", b"abc", b"\x00" * 139 + b"x", skew,
+             bytes(rng.integers(0, 256, 70000, dtype=np.uint8))]
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(0, 60000))
+        cases.append(bytes(np.frombuffer(b"ACGT", np.uint8)[r.integers(0, 4, n)]))
+    for data in cases:
+        for level in (1, 2):
+            c = comp.raw_deflate(data, level, nowrap=True)
+            assert zlib.decompress(c, -zlib.MAX_WBITS) == data
+
+
+def test_fast_deflate_ratio():
+    """Level-2 fast-encoder ratio must stay within 10% of zlib-1 on genomic
+    content (the reference's ISA-L levels trade ratio for speed but stay
+    igzip-class, not fixed-Huffman-class)."""
+    with open(os.path.join(DATA_DIR, "HiSeq.1mb.1RG.2k_lines.bam"), "rb") as fh:
+        payload = bgzf.decompress(fh.read())
+    for data in (CORPUS, payload):
+        z1 = len(zlib.compressobj(1, zlib.DEFLATED, -zlib.MAX_WBITS).compress(data)
+                 + zlib.compressobj(1, zlib.DEFLATED, -zlib.MAX_WBITS).flush())
+        f2 = len(comp.raw_deflate(data, 2, nowrap=True))
+        assert f2 <= 1.10 * z1, (f2, z1)
