@@ -253,11 +253,12 @@ class PDHMM:
                 if np.any(deep):
                     from .ops import pdhmm_ref
 
-                    for k in np.nonzero(deep)[0]:
-                        i = idxs[k]
-                        res[k] = pdhmm_ref.pdhmm_scalar(
-                            haps[i], hap_pds[i], reads[i], *quals[i]
-                        )
+                    ks = np.nonzero(deep)[0]
+                    ids = [idxs[k] for k in ks]
+                    res[ks] = pdhmm_ref.pdhmm_scalar_batch(
+                        [haps[i] for i in ids], [hap_pds[i] for i in ids],
+                        [reads[i] for i in ids], [quals[i] for i in ids],
+                    )
             out[np.asarray(idxs)] = res
 
         if profiling.metrics_enabled():

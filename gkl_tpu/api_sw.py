@@ -27,9 +27,15 @@ from .ops import sw_ref
 
 MAX_SW_SEQUENCE_LENGTH = 32 * 1024 - 1
 MAXIMUM_SW_MATCH_VALUE = 64 * 1024
-# beyond this padded size the O(n*m) backtrack tensor stops being a sensible
-# device resident; fall back to the native scalar path
+# jnp-engine ceiling (non-TPU backends): beyond this the unpacked (P, N, M)
+# code tensor stops being a sensible resident; the Pallas path instead
+# streams the reference axis and is bounded only by sw_pallas_fits (alt
+# axis in VMEM) and the backtrack HBM budget below
 DEVICE_MAX_LEN = 2048
+# device->host backtrack tensor budget per kernel call: lanes * N/2 * M_pad
+# bytes; groups exceeding it split into lane chunks, and buckets that blow
+# it even at the 128-lane minimum fall back to the threaded scalar path
+SW_BT_BUDGET = 1 << 30
 
 
 class OverhangStrategy(enum.IntEnum):
@@ -91,23 +97,54 @@ class SmithWaterman:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
                 ctypes.c_int, i32p, i32p,
             ]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            self._native.sw_align_scalar_batch.restype = None
+            self._native.sw_align_scalar_batch.argtypes = [
+                u8p, i64p, i32p, u8p, i64p, i32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+                i32p, i32p, ctypes.c_int,
+            ]
 
     def close(self) -> None:
         pass
 
     @staticmethod
-    def _use_pallas(N: int, M: int, P: int) -> bool:
+    def _pallas_possible() -> bool:
         import os
 
         from . import utils
+
+        return utils.is_tpu_available() and os.environ.get("GKL_TPU_PALLAS") != "0"
+
+    @classmethod
+    def _use_pallas(cls, N: int, M: int, P: int) -> bool:
         from .ops import sw_pallas
 
         return (
-            utils.is_tpu_available()
-            and os.environ.get("GKL_TPU_PALLAS") != "0"
+            cls._pallas_possible()
             and P % 128 == 0
             and M % 2 == 0
             and sw_pallas.sw_pallas_fits(N, M)
+        )
+
+    @classmethod
+    def _device_eligible(cls, rlen: int, alen: int) -> bool:
+        """Device coverage: the Pallas kernel streams the reference axis, so
+        N extends to the full 32767 range as long as the alt axis fits VMEM
+        (sw_pallas_fits) and the backtrack tensor fits the HBM budget at
+        the minimum 128-lane batch — the TPU analogue of the reference's
+        on-demand matrix growth (PairWiseSW.h:454-501).  Non-TPU backends
+        keep the jnp engine's DEVICE_MAX_LEN ceiling."""
+        if not cls._pallas_possible():
+            return max(rlen, alen) <= DEVICE_MAX_LEN
+        from .ops import sw_pallas
+
+        N = batch_mod.bucket_length(rlen)
+        M = batch_mod.bucket_length(alen)
+        return (
+            sw_pallas.sw_pallas_fits(N, M)
+            and 128 * (N // 2) * sw_pallas._pad_m(M) <= SW_BT_BUDGET
         )
 
     # ------------------------------------------------------------------
@@ -147,17 +184,39 @@ class SmithWaterman:
         out: list[SWAlignerResult | None] = [None] * len(refs)
 
         device_idx = [
-            k for k in range(len(refs)) if max(len(refs[k]), len(alts[k])) <= DEVICE_MAX_LEN
+            k for k in range(len(refs)) if self._device_eligible(len(refs[k]), len(alts[k]))
         ]
         scalar_idx = [k for k in range(len(refs)) if k not in set(device_idx)]
 
-        # group device pairs by shape bucket
+        # group device pairs by shape bucket, then split groups whose
+        # backtrack tensor would exceed the HBM budget into lane chunks.
+        # Beyond one segment the Pallas path relays 2048-row segments with
+        # carried state — ONE compiled shape per alt bucket covers every
+        # reference length, so long refs bucket to segment multiples.
+        from .ops import sw_pallas
+
+        pallas_on = self._pallas_possible()
+
+        def n_bucket(rlen: int) -> int:
+            b = batch_mod.bucket_length(rlen)
+            if pallas_on and b > sw_pallas.SW_RELAY_SEG:
+                seg = sw_pallas.SW_RELAY_SEG
+                return ((rlen + seg - 1) // seg) * seg
+            return b
+
         groups: dict[tuple[int, int], list[int]] = {}
         for k in device_idx:
-            key = (batch_mod.bucket_length(len(refs[k])), batch_mod.bucket_length(len(alts[k])))
+            key = (n_bucket(len(refs[k])), batch_mod.bucket_length(len(alts[k])))
             groups.setdefault(key, []).append(k)
 
+        chunked: list[tuple[tuple[int, int], list[int]]] = []
         for (N, M), idxs in groups.items():
+            per_lane = (N // 2) * sw_pallas._pad_m(M)
+            max_lanes = max(128, (SW_BT_BUDGET // max(1, per_lane)) // 128 * 128)
+            for s0 in range(0, len(idxs), max_lanes):
+                chunked.append(((N, M), idxs[s0 : s0 + max_lanes]))
+
+        for (N, M), idxs in chunked:
             P = batch_mod.bucket_lanes(len(idxs), self._lane_multiple or batch_mod.default_lane_multiple())
             ref_a = np.zeros((N, P), np.uint8)
             alt_a = np.zeros((M, P), np.uint8)
@@ -194,9 +253,17 @@ class SmithWaterman:
                         # pack on host
                         bt = np.ascontiguousarray(np.asarray(bt))
                         bt = bt[:, 0::2, :] | (bt[:, 1::2, :] << 4)
+            elif N > sw_pallas.SW_RELAY_SEG and self._use_pallas(
+                    sw_pallas.SW_RELAY_SEG, M, P):
+                bt, lastrow, lastcol = sw_pallas.sw_forward_pallas_relay(
+                    ref_a, alt_a, reflen, altlen,
+                    parameters.match_value,
+                    parameters.mismatch_penalty,
+                    parameters.gap_open_penalty,
+                    parameters.gap_extend_penalty,
+                    indel_boundary=indel_boundary,
+                )
             elif self._use_pallas(N, M, P):
-                from .ops import sw_pallas
-
                 bt, lastrow, lastcol = sw_pallas.sw_forward_pallas(
                     ref_a, alt_a, reflen, altlen,
                     parameters.match_value,
@@ -229,8 +296,13 @@ class SmithWaterman:
                     np.ascontiguousarray(lastrow[:, c]), lastcol[c], strategy
                 )
 
-        for k in scalar_idx:
-            out[k] = self._align_scalar(refs[k], alts[k], parameters, strategy)
+        if scalar_idx:
+            for k, r in zip(scalar_idx,
+                            self._align_scalar_batch(
+                                [refs[k] for k in scalar_idx],
+                                [alts[k] for k in scalar_idx],
+                                parameters, strategy)):
+                out[k] = r
 
         if profiling.metrics_enabled():
             cells = sum(len(r) * len(a) for r, a in zip(refs, alts))
@@ -277,6 +349,49 @@ class SmithWaterman:
         bt1[1:, 1:] = codes[:n, :m]
         cigar, offset = sw_ref.cigar_from_btrack(bt1, n, m, max_i, max_j, int(strategy))
         return SWAlignerResult(cigar, offset)
+
+    def _align_scalar_batch(self, refs, alts, p: SWParameters,
+                            strategy) -> list[SWAlignerResult]:
+        """Beyond-device pairs through the native thread pool (the
+        reference's OpenMP-over-pairs analogue); Python fallback is serial."""
+        if self._native is None or len(refs) == 1:
+            return [self._align_scalar(r, a, p, strategy) for r, a in zip(refs, alts)]
+        import os
+
+        n = len(refs)
+        ref_buf = np.concatenate([np.ascontiguousarray(r) for r in refs])
+        alt_buf = np.concatenate([np.ascontiguousarray(a) for a in alts])
+        ref_len = np.array([len(r) for r in refs], np.int32)
+        alt_len = np.array([len(a) for a in alts], np.int32)
+        ref_off = np.zeros(n, np.int64)
+        alt_off = np.zeros(n, np.int64)
+        np.cumsum(ref_len[:-1], out=ref_off[1:])
+        np.cumsum(alt_len[:-1], out=alt_off[1:])
+        stride = int(2 * max(ref_len.max(), alt_len.max()) + 16)
+        cigars = ctypes.create_string_buffer(n * stride)
+        offsets = np.zeros(n, np.int32)
+        scores = np.zeros(n, np.int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._native.sw_align_scalar_batch(
+            ref_buf.ctypes.data_as(u8p), ref_off.ctypes.data_as(i64p),
+            ref_len.ctypes.data_as(i32p),
+            alt_buf.ctypes.data_as(u8p), alt_off.ctypes.data_as(i64p),
+            alt_len.ctypes.data_as(i32p),
+            ctypes.c_int(n), ctypes.c_int(p.match_value),
+            ctypes.c_int(p.mismatch_penalty), ctypes.c_int(p.gap_open_penalty),
+            ctypes.c_int(p.gap_extend_penalty), ctypes.c_int(int(strategy)),
+            cigars, ctypes.c_int64(stride),
+            offsets.ctypes.data_as(i32p), scores.ctypes.data_as(i32p),
+            ctypes.c_int(min(n, os.cpu_count() or 1)),
+        )
+        res = []
+        for k in range(n):
+            raw = cigars.raw[k * stride : (k + 1) * stride]
+            res.append(SWAlignerResult(raw.split(b"\x00", 1)[0].decode("ascii"),
+                                       int(offsets[k])))
+        return res
 
     def _align_scalar(self, ref, alt, p: SWParameters, strategy) -> SWAlignerResult:
         if self._native is not None:

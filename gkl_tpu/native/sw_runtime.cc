@@ -8,9 +8,11 @@
 //
 // Built as a plain shared library; called through ctypes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -283,6 +285,39 @@ int sw_align_scalar(const uint8_t* ref, int n, const uint8_t* alt, int m,
 
   return sw_postprocess(bt.data(), n, m, lastrow.data(), lastcol.data(),
                         strategy, cigar_out, cigar_cap, offset_out, score_out);
+}
+
+// Batch scalar alignment over a std::thread pool — the OpenMP-over-pairs
+// analogue for beyond-device-bucket pairs (the reference parallelizes its
+// per-pair kernel the same way; a serial Python loop over 32k-length pairs
+// is ~1e9 scalar cells per core per pair).  Sequences are packed into
+// concatenated buffers with per-pair offsets; cigars land at fixed strides.
+void sw_align_scalar_batch(const uint8_t* refs, const int64_t* ref_off,
+                           const int32_t* ref_len, const uint8_t* alts,
+                           const int64_t* alt_off, const int32_t* alt_len,
+                           int n_pairs, int match, int mismatch, int open_,
+                           int extend, int strategy, char* cigars,
+                           int64_t cigar_stride, int32_t* offsets,
+                           int32_t* scores, int n_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int k = next.fetch_add(1);
+      if (k >= n_pairs) return;
+      sw_align_scalar(refs + ref_off[k], ref_len[k], alts + alt_off[k],
+                      alt_len[k], match, mismatch, open_, extend, strategy,
+                      cigars + (int64_t)k * cigar_stride, (int)cigar_stride,
+                      offsets + k, scores + k);
+    }
+  };
+  if (n_threads <= 1 || n_pairs <= 1) {
+    worker();
+    return;
+  }
+  int nt = n_threads < n_pairs ? n_threads : n_pairs;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -21,18 +21,20 @@ import subprocess
 import sys
 import threading
 
-_ALLOWED = ("gkl_sw_runtime", "gkl_codec", "gkl_bam")
+_ALLOWED = ("gkl_sw_runtime", "gkl_codec", "gkl_bam", "gkl_pdhmm_oracle")
 
 _SRC = {
     "gkl_sw_runtime": ["sw_runtime.cc"],
     "gkl_codec": ["codec.cc", "deflate_fast.cc"],
     "gkl_bam": ["bam_scan.cc"],
+    "gkl_pdhmm_oracle": ["pdhmm_oracle.cc"],
 }
 
 _LINK = {
     "gkl_codec": ["-lz"],
     "gkl_sw_runtime": [],
     "gkl_bam": [],
+    "gkl_pdhmm_oracle": [],
 }
 
 _cache: dict[str, ctypes.CDLL | None] = {}

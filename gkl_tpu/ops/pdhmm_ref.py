@@ -123,3 +123,88 @@ def pdhmm_scalar(hap, hap_pd, read, q, iq, dq, gcp, dtype: str = "float64") -> f
     for j in range(1, Hl + 1):
         total += M[Rl, j] + I[Rl, j]
     return float(np.log10(total) - ctx.INITIAL_CONDITION_LOG10)
+
+
+def pdhmm_scalar_batch(haps, hap_pds, reads, quals, threads=None):
+    """Batch oracle: native thread-pool f64 DP (gradual underflow preserved),
+    per-lane Python fallback.  ``quals`` is a sequence of (q, iq, dq, gcp)
+    per pair; returns log10 likelihoods (float64 array).
+
+    All probability tables are computed HERE (the same context tables the
+    per-lane oracle uses) and shipped to the native DP as per-row transition
+    rows, so native and Python paths share identical arithmetic inputs.
+    """
+    from .. import native_lib
+
+    lib = native_lib.load("gkl_pdhmm_oracle")
+    n = len(haps)
+    if lib is None:
+        return np.array([
+            pdhmm_scalar(haps[k], hap_pds[k], reads[k], *quals[k])
+            for k in range(n)
+        ])
+
+    import ctypes
+    import os
+
+    if not hasattr(lib, "_pdhmm_ready"):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.gkl_pdhmm_oracle_batch.restype = None
+        lib.gkl_pdhmm_oracle_batch.argtypes = [
+            u8p, i64p, i32p, u8p, u8p, i64p, i32p, f64p, f64p,
+            ctypes.c_int, f64p, ctypes.c_int,
+        ]
+        lib._pdhmm_ready = True
+
+    ctx = ctx_mod.pdhmm_context("float64")
+    q2e = ctx.qual_to_error_prob
+
+    hap_len = np.array([len(h) for h in haps], np.int32)
+    read_len = np.array([len(r) for r in reads], np.int32)
+    hap_off = np.zeros(n, np.int64)
+    read_off = np.zeros(n, np.int64)
+    np.cumsum(hap_len[:-1], out=hap_off[1:])
+    np.cumsum(read_len[:-1], out=read_off[1:])
+    hap_buf = np.concatenate([np.ascontiguousarray(h, np.uint8) for h in haps])
+    pd_buf = np.concatenate([np.ascontiguousarray(p, np.uint8) for p in hap_pds])
+    read_buf = np.concatenate([np.ascontiguousarray(r, np.uint8) for r in reads])
+
+    def qidx(x):
+        return np.minimum(np.asarray(x).astype(np.int32) & 0xFF, ctx_mod.MAX_QUAL)
+
+    trans = np.empty((int(read_len.sum()), 7), np.float64)
+    for k in range(n):
+        q, iq, dq, gcp = quals[k]
+        i_, d_, c_, q_ = qidx(iq), qidx(dq), qidx(gcp), qidx(q)
+        o = int(read_off[k])
+        L = int(read_len[k])
+        trans[o : o + L, 0] = ctx.set_mm_prob(i_, d_)
+        trans[o : o + L, 1] = q2e[i_]
+        trans[o : o + L, 2] = q2e[d_]
+        trans[o : o + L, 3] = 1.0 - q2e[c_]
+        trans[o : o + L, 4] = q2e[c_]
+        err = q2e[q_]
+        trans[o : o + L, 5] = 1.0 - err
+        trans[o : o + L, 6] = err / 3.0
+    ic = (np.float64(ctx.INITIAL_CONDITION) / hap_len.astype(np.float64))
+
+    out_raw = np.zeros(n, np.float64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gkl_pdhmm_oracle_batch(
+        hap_buf.ctypes.data_as(u8p), hap_off.ctypes.data_as(i64p),
+        hap_len.ctypes.data_as(i32p), pd_buf.ctypes.data_as(u8p),
+        read_buf.ctypes.data_as(u8p), read_off.ctypes.data_as(i64p),
+        read_len.ctypes.data_as(i32p),
+        np.ascontiguousarray(trans).ctypes.data_as(f64p),
+        ic.ctypes.data_as(f64p), ctypes.c_int(n),
+        out_raw.ctypes.data_as(f64p),
+        ctypes.c_int(threads or os.cpu_count() or 1),
+    )
+    with np.errstate(divide="ignore"):
+        return np.log10(out_raw) - float(ctx.INITIAL_CONDITION_LOG10)

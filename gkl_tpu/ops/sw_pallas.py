@@ -58,9 +58,14 @@ def _pick_chunk(N: int, M: int, lane_block: int) -> int:
     return best
 
 
-def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
-            wm_ref, wx_ref, wo_ref, we_ref,
-            bt_ref, lastrow_ref, lastcol_ref, h_ref, f_ref, prev_bt_ref):
+def _kernel(indel_boundary, relay, ref_ref, alt_ref, reflen_ref, altlen_ref,
+            wm_ref, wx_ref, wo_ref, we_ref, *rest):
+    if relay:
+        (h0_ref, f0_ref, lr0_ref, rowbase_ref,
+         bt_ref, lastrow_ref, lastcol_ref, hout_ref, fout_ref,
+         h_ref, f_ref, prev_bt_ref) = rest
+    else:
+        bt_ref, lastrow_ref, lastcol_ref, h_ref, f_ref, prev_bt_ref = rest
     M, LP = h_ref.shape
     CH = ref_ref.shape[0]  # rows in this grid step's chunk
     jgrid = pl.program_id(1)
@@ -95,13 +100,19 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
 
     @pl.when(jgrid == 0)
     def _init():
-        if indel_boundary:
-            h0 = w_open + col_iota * w_extend  # H(0, j), j = col_iota + 1
+        if relay:
+            # segment relay: resume from the carried H/F/lastrow state
+            h_ref[:] = h0_ref[:]
+            f_ref[:] = f0_ref[:]
+            lastrow_ref[:] = lr0_ref[:]
         else:
-            h0 = jnp.zeros((M, LP), i32)
-        h_ref[:] = h0
-        f_ref[:] = jnp.full((M, LP), low, i32)
-        lastrow_ref[:] = jnp.zeros((M, LP), i32)
+            if indel_boundary:
+                h0 = w_open + col_iota * w_extend  # H(0, j), j = col_iota + 1
+            else:
+                h0 = jnp.zeros((M, LP), i32)
+            h_ref[:] = h0
+            f_ref[:] = jnp.full((M, LP), low, i32)
+            lastrow_ref[:] = jnp.zeros((M, LP), i32)
 
     def body(lrow, r, parity):
         # lrow: chunk-local 0-based row; r: global 1-based row (traced)
@@ -173,6 +184,8 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
     # 4-row unrolled groups pipeline better AND make the pack parity static
     # (no predicated regions); chunk sizes are multiples of 4
     base = jgrid * jnp.int32(CH)
+    if relay:
+        base = base + rowbase_ref[0, 0]  # global row offset of this segment
 
     def group(c, carry):
         for k in range(4):
@@ -181,6 +194,11 @@ def _kernel(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
         return carry
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH // 4), group, jnp.int32(0))
+
+    if relay:
+        # carried state out (same block every grid step; last write wins)
+        hout_ref[:] = h_ref[:]
+        fout_ref[:] = f_ref[:]
 
 
 def _pad_m(M: int) -> int:
@@ -280,7 +298,7 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
 
     with jax.enable_x64(False):
         bt, lastrow, lastcol = pl.pallas_call(
-            functools.partial(_kernel, indel_boundary),
+            functools.partial(_kernel, indel_boundary, False),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -298,3 +316,141 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
     # lane-major transposes (matching sw.sw_forward's row-packed
     # (P, N/2, M) / (M, P) / (P, N) output contract)
     return jnp.transpose(bt, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0))
+
+
+SW_RELAY_SEG = 2048
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("indel_boundary", "lane_block", "interpret"),
+)
+def _sw_relay_segment(ref_seg, alt, reflen, altlen, wm, wx, wo, we,
+                      h0, f0, lr0, rowbase, *, indel_boundary: bool,
+                      lane_block: int, interpret: bool):
+    """One relay segment: same DP as ``sw_forward_pallas`` but resuming from
+    carried (H, F, lastrow) state at global row offset ``rowbase``.  ONE
+    compiled shape per (segment, M, lanes) covers every reference length —
+    the compile-once analogue of the reference's on-demand matrix growth
+    (PairWiseSW.h:454-501)."""
+    SEG, P = ref_seg.shape
+    M = alt.shape[0]
+    i32 = jnp.int32
+    CH = _pick_chunk(SEG, M, lane_block)
+    grid = (P // lane_block, SEG // CH)
+
+    def lane_spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            (*dims, lane_block),
+            lambda i, j: tuple([jnp.int32(0)] * nd) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def chunk_spec(*dims):
+        nd = len(dims) - 1
+        return pl.BlockSpec(
+            (*dims, lane_block),
+            lambda i, j: (j,) + tuple([jnp.int32(0)] * nd) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        chunk_spec(CH),  # ref (streamed)
+        lane_spec(M),    # alt
+        lane_spec(1),    # reflen
+        lane_spec(1),    # altlen
+        lane_spec(1), lane_spec(1), lane_spec(1), lane_spec(1),  # wm wx wo we
+        lane_spec(M),    # h0
+        lane_spec(M),    # f0
+        lane_spec(M),    # lr0
+        lane_spec(1),    # rowbase (1, P) i32 broadcast
+    ]
+    out_specs = [
+        chunk_spec(CH // 2, M),  # bt
+        lane_spec(M),            # lastrow (carried)
+        chunk_spec(CH),          # lastcol
+        lane_spec(M),            # h out
+        lane_spec(M),            # f out
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((SEG // 2, M, P), jnp.uint8),
+        jax.ShapeDtypeStruct((M, P), i32),
+        jax.ShapeDtypeStruct((SEG, P), i32),
+        jax.ShapeDtypeStruct((M, P), i32),
+        jax.ShapeDtypeStruct((M, P), i32),
+    ]
+
+    with jax.enable_x64(False):
+        bt, lastrow, lastcol, h_out, f_out = pl.pallas_call(
+            functools.partial(_kernel, indel_boundary, True),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((M, lane_block), i32)] * 2
+            + [pltpu.VMEM((M, lane_block), jnp.uint8)],
+            interpret=interpret,
+        )(ref_seg, alt, reflen, altlen, wm, wx, wo, we, h0, f0, lr0, rowbase)
+    return jnp.transpose(bt, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0)), h_out, f_out
+
+
+def sw_forward_pallas_relay(ref, alt, reflen, altlen, match, mismatch,
+                            gap_open, gap_extend, *, indel_boundary: bool,
+                            seg: int = SW_RELAY_SEG,
+                            lane_block: int = LANE_BLOCK,
+                            interpret: bool = False):
+    """Segmented SW forward for reference lengths beyond one kernel's span.
+
+    Same output contract as ``sw_forward_pallas`` (row-pair-packed bt with
+    the pow2-padded alt stride) with ``N`` any multiple of ``seg``; the bt
+    and lastcol pieces are assembled on host per segment, so device and
+    host memory are bounded by one segment at a time.
+    """
+    import numpy as np_
+
+    N, P = ref.shape
+    M = alt.shape[0]
+    assert N % seg == 0 and P % lane_block == 0, (N, seg, P)
+    i32 = jnp.int32
+
+    M_pad = _pad_m(M)
+    if M_pad != M:
+        alt = np_.concatenate(
+            [np_.asarray(alt), np_.full((M_pad - M, P), 1, alt.dtype)])
+        M = M_pad
+    col = np_.arange(M, dtype=np_.int32)[:, None]
+    if indel_boundary:
+        h0 = (gap_open + col * gap_extend).astype(np_.int32) * np_.ones((1, P), np_.int32)
+    else:
+        h0 = np_.zeros((M, P), np_.int32)
+    f0 = np_.full((M, P), LOW_INIT_VALUE, np_.int32)
+    lr0 = np_.zeros((M, P), np_.int32)
+
+    ones = np_.ones((1, P), np_.int32)
+    wm = ones * match
+    wx = ones * mismatch
+    wo = ones * gap_open
+    we = ones * gap_extend
+    reflen2 = np_.asarray(reflen, np_.int32)[None, :]
+    altlen2 = np_.asarray(altlen, np_.int32)[None, :]
+    # i32 sequences: u8 VMEM tiles take (32, 128) tiling, which breaks the
+    # kernel's dynamic single-row reads (and the == compare typing)
+    ref = np_.asarray(ref, np_.int32)
+    alt = np_.asarray(alt, np_.int32)
+
+    bt_host = np_.empty((P, N // 2, M), np_.uint8)
+    lc_host = np_.empty((P, N), np_.int32)
+    h, f, lr = h0, f0, lr0
+    lastrow = None
+    for s0 in range(0, N, seg):
+        bt_s, lastrow, lc_s, h, f = _sw_relay_segment(
+            ref[s0 : s0 + seg], alt, reflen2, altlen2, wm, wx, wo, we,
+            h, f, lr, jnp.full((1, P), s0, np_.int32),
+            indel_boundary=indel_boundary, lane_block=lane_block,
+            interpret=interpret,
+        )
+        lr = lastrow
+        bt_host[:, s0 // 2 : (s0 + seg) // 2] = np_.asarray(bt_s)
+        lc_host[:, s0 : s0 + seg] = np_.asarray(lc_s)
+    return bt_host, np_.asarray(lastrow), lc_host

@@ -166,3 +166,22 @@ def test_pdhmm_new_object_path():
     out = hmm.compute_likelihoods(rds, hps)
     want = expected[: n_r * n_h]
     np.testing.assert_allclose(out, want, atol=TOL)
+
+
+def test_batch_oracle_matches_serial():
+    """The native thread-pool batch oracle must be bit-identical to the
+    per-lane Python oracle (both preserve f64 gradual underflow)."""
+    import golden
+    from gkl_tpu.ops import pdhmm_ref
+
+    cases = golden.load_pdhmm_cases("pdhmm_syn_199_68_51.txt")[:24]
+    haps = [c.hap for c in cases]
+    pds = [c.hap_pd for c in cases]
+    reads = [c.read for c in cases]
+    quals = [(c.q, c.iq, c.dq, c.gcp) for c in cases]
+    batch = pdhmm_ref.pdhmm_scalar_batch(haps, pds, reads, quals)
+    serial = np.array([
+        pdhmm_ref.pdhmm_scalar(haps[k], pds[k], reads[k], *quals[k])
+        for k in range(len(cases))
+    ])
+    np.testing.assert_array_equal(batch, serial)

@@ -120,3 +120,48 @@ def test_gatk_like_long_pair():
     want = sw_ref.sw_align(ref, alt, 200, -150, -260, -11, 9)
     assert got.cigar == want.cigar
     assert "D" in got.cigar
+
+
+def test_device_eligibility_tpu_rules(monkeypatch):
+    """With Pallas available the device path covers the full reference axis
+    (N to 32767) while the alt axis is VMEM-bounded; without it the jnp
+    DEVICE_MAX_LEN ceiling applies."""
+    from gkl_tpu.api_sw import DEVICE_MAX_LEN, SmithWaterman
+
+    monkeypatch.setattr(SmithWaterman, "_pallas_possible", staticmethod(lambda: True))
+    assert SmithWaterman._device_eligible(8000, 500)
+    assert SmithWaterman._device_eligible(32000, 500)
+    assert SmithWaterman._device_eligible(8000, 2048)
+    assert not SmithWaterman._device_eligible(500, 4000)   # alt axis > VMEM
+    assert not SmithWaterman._device_eligible(32000, 2048) # bt tensor > HBM budget
+    monkeypatch.setattr(SmithWaterman, "_pallas_possible", staticmethod(lambda: False))
+    assert SmithWaterman._device_eligible(DEVICE_MAX_LEN, DEVICE_MAX_LEN)
+    assert not SmithWaterman._device_eligible(DEVICE_MAX_LEN + 1, 100)
+
+
+def test_scalar_batch_threaded_matches_oracle():
+    """The native thread-pool scalar batch must reproduce the serial oracle
+    (CIGAR + offset) for beyond-device pairs."""
+    from gkl_tpu.api_sw import OverhangStrategy, SmithWaterman, SWParameters
+    from gkl_tpu.ops import sw_ref
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    refs, alts = [], []
+    for k in range(6):
+        n = int(rng.integers(300, 900))
+        m = int(rng.integers(300, 900))
+        r = bases[rng.integers(0, 4, n)]
+        a = r[:m].copy() if m <= n else np.concatenate([r, bases[rng.integers(0, 4, m - n)]])
+        mut = rng.random(len(a)) < 0.08
+        a[mut] = bases[rng.integers(0, 4, int(mut.sum()))]
+        refs.append(r)
+        alts.append(a)
+    sw = SmithWaterman()
+    p = SWParameters(200, -150, -260, -11)
+    for strat in (OverhangStrategy.SOFTCLIP, OverhangStrategy.INDEL,
+                  OverhangStrategy.LEADING_INDEL, OverhangStrategy.IGNORE):
+        got = sw._align_scalar_batch(refs, alts, p, strat)
+        for k in range(len(refs)):
+            o = sw_ref.sw_align(refs[k], alts[k], 200, -150, -260, -11, int(strat))
+            assert got[k].cigar == o.cigar and got[k].alignment_offset == o.offset

@@ -41,3 +41,41 @@ def test_fits_budget():
     assert not sw_pallas_fits(162, 160)  # N must be a multiple of 4
     # smaller lane blocks scale the ceiling up proportionally
     assert sw_pallas_fits(2048, 4096, lane_block=64)
+
+
+def test_interpret_parity_padded_m():
+    """Alt lengths beyond 512 pad to a power of two inside the kernel; the
+    sliced outputs must still match the jnp engine bit-for-bit."""
+    args = _batch(N=24, M=40, P=16, seed=3)
+    a = sw_forward(*args, 200, -150, -260, -11, indel_boundary=False, pack_bt=True)
+    from gkl_tpu.ops import sw_pallas
+    orig = sw_pallas._pad_m
+    sw_pallas._pad_m = lambda M: 64 if M == 40 else orig(M)
+    try:
+        b = sw_forward_pallas(*args, 200, -150, -260, -11,
+                              indel_boundary=False, lane_block=8, interpret=True)
+    finally:
+        sw_pallas._pad_m = orig
+    bt_a, lr_a, lc_a = (np.asarray(x) for x in a)
+    bt_b, lr_b, lc_b = (np.asarray(x) for x in b)
+    assert bt_b.shape[2] == 64 and lr_b.shape[0] == 64
+    np.testing.assert_array_equal(bt_a, bt_b[:, :, :40])
+    np.testing.assert_array_equal(lr_a, lr_b[:40])
+    np.testing.assert_array_equal(lc_a, lc_b)
+
+
+def test_relay_matches_direct():
+    """The segment relay (carried H/F/lastrow state) must reproduce the
+    single-call kernel bit-for-bit across segment boundaries."""
+    from gkl_tpu.ops.sw_pallas import sw_forward_pallas_relay
+
+    for indel_boundary in (False, True):
+        args = _batch(N=64, M=24, P=16, seed=5)
+        a = sw_forward_pallas(*args, 200, -150, -260, -11,
+                              indel_boundary=indel_boundary, lane_block=8,
+                              interpret=True)
+        b = sw_forward_pallas_relay(*args, 200, -150, -260, -11,
+                                    indel_boundary=indel_boundary, seg=16,
+                                    lane_block=8, interpret=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
