@@ -92,16 +92,56 @@ def bench_pairhmm(R=128, H=224, P=2048, iters=100):
     return float(R) * float(H) * float(P) / per_call
 
 
+def _suite_extras(quick: bool) -> dict:
+    """Run the full engine/codec/pipeline suite (benchmarks/suite.py) with
+    its stdout suppressed and collect every metric, so the driver's single
+    JSON line records the whole engine set, not just the PairHMM headline."""
+    import contextlib
+    import io
+
+    sys_path_root = os.path.dirname(os.path.abspath(__file__))
+    import sys
+
+    if sys_path_root not in sys.path:
+        sys.path.insert(0, sys_path_root)
+    from benchmarks import suite
+
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    extras: dict = {}
+    for name, fn in (
+        ("pdhmm", lambda: suite.bench_pdhmm(on_tpu, quick)),
+        ("sw", lambda: suite.bench_sw(on_tpu, quick)),
+        ("pairhmm_sharded", lambda: suite.bench_pairhmm_sharded(on_tpu, quick)),
+        ("codec", lambda: suite.bench_codec(quick)),
+        ("bam", lambda: suite.bench_bam_pipeline(quick)),
+    ):
+        suite.RESULTS.clear()
+        try:
+            with contextlib.redirect_stdout(io.StringIO()):
+                fn()
+            for rec in suite.RESULTS:
+                extras[rec["metric"]] = rec["value"]
+                if "ratio" in rec:
+                    extras[rec["metric"] + "_ratio"] = rec["ratio"]
+        except Exception as e:  # noqa: BLE001 - partial extras beat none
+            extras[name + "_error"] = str(e)[:200]
+    return extras
+
+
 def main():
     try:
         import jax
 
         jax.config.update("jax_enable_x64", True)
         backend = jax.default_backend()
-        if backend == "cpu":
+        quick = backend == "cpu"
+        if quick:
             cells_per_sec = bench_pairhmm(R=32, H=64, P=256, iters=10)
         else:
             cells_per_sec = bench_pairhmm()
+        extras = _suite_extras(quick)
         print(
             json.dumps(
                 {
@@ -109,6 +149,7 @@ def main():
                     "value": cells_per_sec,
                     "unit": "cells/s",
                     "vs_baseline": cells_per_sec / BASELINE_CELLS_PER_SEC,
+                    "extra": extras,
                 }
             )
         )

@@ -27,8 +27,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
+RESULTS: list[dict] = []  # every _emit also lands here (bench.py collects)
+
+
 def _emit(metric, value, unit, **extra):
-    print(json.dumps({"metric": metric, "value": value, "unit": unit, **extra}), flush=True)
+    rec = {"metric": metric, "value": value, "unit": unit, **extra}
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
 
 
 def _device_loop_time(fn_loop, args, iters, x64=True):
@@ -146,6 +151,58 @@ def bench_pdhmm(on_tpu, quick):
         _emit(metric, R * H * P / per, "cells/s", shape=[R, H, P])
 
 
+def bench_pairhmm_sharded(on_tpu, quick):
+    """The mesh path (shard_map-wrapped Pallas) on all local devices — on a
+    single chip this measures the shard_map wrapper overhead vs the direct
+    kernel; on pods it is the scaling metric."""
+    import jax
+
+    from gkl_tpu import parallel
+    from gkl_tpu.batch import PackedPairs
+
+    if not on_tpu:
+        return
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as Pspec
+
+    from gkl_tpu.ops.pairhmm_pallas import pairhmm_raw_pallas_scaled
+
+    R, H, P, iters = (128, 224, 2048, 100)
+    n_dev = len(jax.devices())
+    P = max(P, 128 * n_dev)
+    batch = _gatk_like_batch(R, H, P)
+    mesh = parallel.data_parallel_mesh()
+    ls = parallel.mesh.lane_sharding(mesh)
+    vs = parallel.mesh.vec_sharding(mesh)
+    args = [jax.device_put(a, ls) for a in batch[:6]] + [
+        jax.device_put(a, vs) for a in batch[6:]]
+
+    # same on-device loop differencing as the direct bench (per-dispatch
+    # tunnel latency would otherwise dominate); the shard_map sits inside
+    # the jitted loop body, so each iteration runs the SPMD kernel
+    local = jax.shard_map(
+        lambda *a: pairhmm_raw_pallas_scaled(*a),
+        mesh=mesh,
+        in_specs=(Pspec(None, "dp"),) * 6 + (Pspec("dp"),) * 2,
+        out_specs=(Pspec("dp"),) * 3,
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(a0, a1, a2, a3, a4, a5, a6, a7, n):
+        def body(i, acc):
+            mant, ex, _ = local(a0, a1, a2 + (i % 3).astype(jnp.uint8), a3, a4, a5, a6, a7)
+            return acc + mant + ex.astype(jnp.float32) * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body,
+                                 jnp.zeros((P,), jnp.float32)).sum()
+
+    with mesh:
+        per = _device_loop_time(loop, args, iters)
+    _emit("pairhmm_sharded_dp_cells_per_sec", R * H * P / per, "cells/s",
+          shape=[R, H, P], n_devices=n_dev)
+
+
 def bench_sw(on_tpu, quick):
     import jax
     import jax.numpy as jnp
@@ -250,6 +307,8 @@ def main():
 
     if want("pairhmm"):
         bench_pairhmm(on_tpu, args.quick)
+    if want("pairhmm_sharded"):
+        bench_pairhmm_sharded(on_tpu, args.quick)
     if want("pdhmm"):
         bench_pdhmm(on_tpu, args.quick)
     if want("sw"):

@@ -286,3 +286,91 @@ def write_bam(path: str, header: BamHeader, records, level: int = 6,
     stream = bgzf.compress(payload, level=level, threads=threads)
     with open(path, "wb") as fh:
         fh.write(stream)
+
+
+def try_parse_header(payload) -> tuple[BamHeader, int] | None:
+    """parse_header that returns None when the buffer is still too short."""
+    n = len(payload)
+    if n < 12:
+        return None
+    if bytes(payload[:4]) != b"BAM\x01":
+        raise ValueError("not a BAM payload (missing BAM\\1 magic)")
+    (l_text,) = struct.unpack_from("<i", payload, 4)
+    off = 8 + l_text
+    if off + 4 > n:
+        return None
+    (n_ref,) = struct.unpack_from("<i", payload, off)
+    probe = off + 4
+    for _ in range(n_ref):
+        if probe + 4 > n:
+            return None
+        (l_name,) = struct.unpack_from("<i", payload, probe)
+        probe += 4 + l_name + 4
+    if probe > n:
+        return None
+    return parse_header(bytes(payload))
+
+
+def complete_records_end(buf, start: int) -> int:
+    """Offset just past the last COMPLETE alignment record in ``buf``."""
+    off = start
+    n = len(buf)
+    while off + 4 <= n:
+        bs = int.from_bytes(buf[off : off + 4], "little", signed=True)
+        if bs < 32:
+            raise ValueError("truncated BAM record")
+        if off + 4 + bs > n:
+            break
+        off += 4 + bs
+    return off
+
+
+def read_bam_streaming(path: str, limit: int | None = None,
+                       threads: int | None = None, read_size: int = 4 << 20):
+    """Streaming form of :func:`read_bam`: returns (header, record iterator)
+    with host memory bounded by ``read_size`` of compressed input plus one
+    decode window — BGZF members inflate incrementally on the parallel
+    codec and records parse per window (records may span BGZF blocks, so a
+    rolling buffer carries partial tails)."""
+    gen = bgzf.iter_decompressed(path, threads=threads, read_size=read_size)
+    buf = bytearray()
+    header = None
+    off = 0
+    for chunk in gen:
+        buf += chunk
+        parsed = try_parse_header(buf)
+        if parsed is not None:
+            header, off = parsed
+            break
+    if header is None:
+        raise ValueError("truncated BAM header")
+
+    def records():
+        nonlocal buf, off
+        count = 0
+
+        def drain():
+            nonlocal buf, off, count
+            end = complete_records_end(buf, off)
+            if end > off:
+                want = None if limit is None else limit - count
+                recs = parse_records_native(bytes(buf[off:end]), 0, limit=want)
+                if recs is None:
+                    recs = list(parse_records(bytes(buf[off:end]), 0, limit=want))
+                count += len(recs)
+                del buf[:end]
+                off = 0
+                yield from recs
+
+        yield from drain()
+        if limit is not None and count >= limit:
+            return
+        for chunk in gen:
+            buf += chunk
+            yield from drain()
+            if limit is not None and count >= limit:
+                return
+        if off < len(buf):
+            raise ValueError("truncated BAM record at end of stream")
+
+    return header, records()

@@ -104,3 +104,71 @@ def compress(data: bytes, level: int = 6, threads: int | None = None, append_eof
     if append_eof:
         out += EOF_BLOCK
     return bytes(out)
+
+
+def split_blocks_partial(data) -> tuple[list[bytes], int]:
+    """Like :func:`split_blocks` but tolerant of a truncated tail: returns
+    (complete member byte strings, bytes consumed); the caller carries the
+    unconsumed remainder into the next read."""
+    blocks = []
+    pos = 0
+    n = len(data)
+    while pos + 18 <= n:  # minimum bytes to locate the BC subfield
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"not a BGZF stream at offset {pos}")
+        xlen = struct.unpack_from("<H", data, pos + 10)[0]
+        if pos + 12 + xlen > n:
+            break
+        extra = data[pos + 12 : pos + 12 + xlen]
+        bsize = None
+        e = 0
+        while e + 4 <= len(extra):
+            si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from("<H", extra, e + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
+                break
+            e += 4 + slen
+        if bsize is None:
+            raise ValueError(f"gzip member without BC subfield at offset {pos}")
+        if pos + bsize > n:
+            break
+        blocks.append(bytes(data[pos : pos + bsize]))
+        pos += bsize
+    return blocks, pos
+
+
+def iter_decompressed(path_or_file, threads: int | None = None,
+                      read_size: int = 4 << 20):
+    """Stream-decompress a BGZF file in bounded memory: reads ``read_size``
+    compressed bytes at a time, inflates each batch of complete members on
+    the parallel codec, and yields decompressed byte chunks.  This is the
+    incremental form of :func:`decompress` (which loads the whole stream)."""
+    fh = open(path_or_file, "rb") if isinstance(path_or_file, (str, bytes)) else path_or_file
+    close = isinstance(path_or_file, (str, bytes))
+    try:
+        rem = b""
+        while True:
+            data = fh.read(read_size)
+            if not data:
+                break
+            rem += data
+            blocks, consumed = split_blocks_partial(rem)
+            rem = rem[consumed:]
+            if not blocks:
+                continue
+            cdatas = []
+            metas = []
+            for b in blocks:
+                xlen = struct.unpack_from("<H", b, 10)[0]
+                cdatas.append(b[12 + xlen : -8])
+                metas.append(struct.unpack_from("<II", b, len(b) - 8))
+            outs = inflate_blocks(cdatas, threads=threads)
+            for out, (crc, isize) in zip(outs, metas):
+                if len(out) != isize or (zlib.crc32(out) & 0xFFFFFFFF) != crc:
+                    raise ValueError("BGZF block corrupt")
+            yield b"".join(outs)
+        if rem:
+            raise ValueError("truncated BGZF stream (incomplete trailing member)")
+    finally:
+        if close:
+            fh.close()

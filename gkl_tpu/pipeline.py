@@ -79,13 +79,13 @@ def pairhmm_stream(
     hmm = hmm or PairHMM(PairHMMNativeArguments())
     haplotypes = list(haplotypes)
 
-    with open(bam_path, "rb") as fh:
-        data = fh.read()
-    payload = bam_mod.bgzf.decompress(data, threads=threads)
-    _, off = bam_mod.parse_header(payload)
+    # incremental BGZF decode + record parse: host memory stays bounded by
+    # one read window regardless of BAM size
+    _, record_iter = bam_mod.read_bam_streaming(bam_path, limit=limit,
+                                                threads=threads)
 
     batch: list[bam_mod.BamRecord] = []
-    for rec in bam_mod.parse_records(payload, off, limit=limit):
+    for rec in record_iter:
         if not include_filtered:
             if rec.flag & (
                 bam_mod.FLAG_UNMAPPED
@@ -135,13 +135,11 @@ def sw_align_stream(
         reference = np.frombuffer(bytes(reference), np.uint8)
     sw = SmithWaterman()
 
-    with open(bam_path, "rb") as fh:
-        data = fh.read()
-    payload = bam_mod.bgzf.decompress(data, threads=threads)
-    _, off = bam_mod.parse_header(payload)
+    _, record_iter = bam_mod.read_bam_streaming(bam_path, limit=limit,
+                                                threads=threads)
 
     batch: list[bam_mod.BamRecord] = []
-    for rec in bam_mod.parse_records(payload, off, limit=limit):
+    for rec in record_iter:
         if rec.flag & (bam_mod.FLAG_UNMAPPED | bam_mod.FLAG_SECONDARY
                        | bam_mod.FLAG_SUPPLEMENTARY) or len(rec.seq) == 0:
             continue

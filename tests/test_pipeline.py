@@ -167,3 +167,42 @@ def test_corrupt_bam_record_rejected():
     if rec is not None:
         with pytest.raises(ValueError):
             bam_mod.parse_records_native(bad_bs, 0)
+
+
+def test_streaming_reader_matches_whole_file():
+    """read_bam_streaming (bounded-memory incremental BGZF + record parse)
+    must produce exactly the records of the whole-file reader, including
+    when the read window is tiny enough that records span windows."""
+    header, rec_iter = bam_mod.read_bam_streaming(BAM, limit=300, read_size=1 << 15)
+    streamed = list(rec_iter)
+    _, whole = bam_mod.read_bam(BAM, limit=300)
+    assert header.ref_names == bam_mod.read_bam(BAM, limit=1)[0].ref_names
+    assert len(streamed) == len(whole)
+    for a, b in zip(streamed, whole):
+        assert a.name == b.name and a.flag == b.flag and a.pos == b.pos
+        np.testing.assert_array_equal(a.seq, b.seq)
+        np.testing.assert_array_equal(a.qual, b.qual)
+        assert a.cigar == b.cigar
+
+
+def test_pipeline_golden_snapshot():
+    """gatkIntegration.sh analogue (scripts/gatkIntegration.sh:26-31): the
+    end-to-end BAM -> codec -> batch -> PairHMM pipeline must reproduce a
+    committed snapshot of likelihoods for the bundled BAM's first reads."""
+    from gkl_tpu.api import HaplotypeData
+
+    _, records = bam_mod.read_bam(BAM, limit=8)
+    haps = [HaplotypeData(records[i].seq) for i in (0, 1, 2, 3)]
+    res = pipeline.pairhmm_bam(BAM, haps, limit=24, chunk_reads=8)
+
+    golden_path = os.path.join(DATA_DIR, "pipeline_golden.txt")
+    names, rows = [], []
+    with open(golden_path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            parts = line.split()
+            names.append(parts[0])
+            rows.append([float(v) for v in parts[1:]])
+    assert res.read_names == names
+    np.testing.assert_allclose(res.likelihoods, np.array(rows), atol=1e-5)
