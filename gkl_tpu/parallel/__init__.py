@@ -12,6 +12,7 @@ from .distributed import (
     host_local_slice,
     initialize,
     make_global_array,
+    pairhmm_raw_global,
 )
 from .mesh import (
     data_parallel_mesh,
@@ -32,6 +33,7 @@ __all__ = [
     "host_local_slice",
     "initialize",
     "make_global_array",
+    "pairhmm_raw_global",
     "pairhmm_raw_pallas_scaled_sharded",
     "pairhmm_raw_pallas_sharded",
     "pairhmm_raw_pallas_cols_sharded",

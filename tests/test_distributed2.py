@@ -1,0 +1,61 @@
+"""Two-REAL-process jax.distributed test on CPU: the multi-host claim made
+checkable in this environment (SURVEY.md §5.8 / BASELINE ≥85% scaling).
+
+Each process feeds only its host-local lane shard (host_local_slice +
+make_global_array) and must get back exactly the single-process results
+for its lanes."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_pairhmm_global():
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_worker.py"),
+             coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        if rc != 0 and ("UNIMPLEMENTED" in err or "not supported" in err):
+            pytest.skip(f"jax.distributed unavailable on CPU here: {err[-300:]}")
+        assert rc == 0, err[-2000:]
+    for rc, out, err in outs:
+        got = ref = None
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                got = np.array(json.loads(line[7:]))
+            elif line.startswith("REF "):
+                ref = np.array(json.loads(line[4:]))
+        assert got is not None and ref is not None, out
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
