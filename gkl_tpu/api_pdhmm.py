@@ -115,16 +115,26 @@ class PDHMM:
 
             scope = contextlib.nullcontext()
         boost_log2 = self._BOOST_LOG2 if boost_row is not None else 0.0
-        # 6 VMEM state tiles of (R, 128) f32 plus ~12 input tiles cap the
-        # read bucket the Pallas kernel can hold (16 MB VMEM on v5e).
-        use_pallas = (
+        # VMEM caps the single-pass kernel's read bucket (pdhmm_single_fits,
+        # measured on v5e); longer reads relay through the chunked kernel.
+        from .ops import pdhmm_pallas as _pp
+
+        pallas_on = (
             dtype == "float32"
             and boost_row is None
             and self.args.kernel_level != KernelLevel.SCALAR
             and utils.is_tpu_available()
             and hap.shape[1] % 128 == 0
-            and read.shape[0] <= 1024
             and __import__("os").environ.get("GKL_TPU_PALLAS") != "0"
+        )
+        use_pallas = pallas_on and _pp.pdhmm_single_fits(
+            hap.shape[0], read.shape[0])
+        # long reads: the chunked kernel relays the read axis with carried
+        # boundary rows (one compile per hap bucket, any read length)
+        use_chunked = (
+            pallas_on
+            and not use_pallas
+            and _pp.pdhmm_chunked_fits(hap.shape[0])
         )
         with scope:
             if self.mesh is not None and dtype == "float32" and boost_row is None:
@@ -147,10 +157,14 @@ class PDHMM:
                                                        states, dtype="float32")
                         )
             elif use_pallas:
-                from .ops import pdhmm_pallas
-
                 raw = np.asarray(
-                    pdhmm_pallas.pdhmm_raw_pallas(
+                    _pp.pdhmm_raw_pallas(
+                        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen
+                    )
+                )
+            elif use_chunked:
+                raw = np.asarray(
+                    _pp.pdhmm_raw_pallas_chunked(
                         hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen
                     )
                 )

@@ -177,11 +177,11 @@ class Inflater:
             raise ValueError("ZLIB format is not supported at this time with GKL TPU")
         self.nowrap = nowrap
         self._input: bytes | None = None
-        self._finished = False
+        self._pending: bytes | None = None  # decompressed-but-undelivered tail
 
     def reset(self) -> None:
         self._input = None
-        self._finished = False
+        self._pending = None
 
     def set_input(self, b, off: int = 0, length: int | None = None) -> None:
         if b is None:
@@ -190,24 +190,29 @@ class Inflater:
         if off < 0 or length < 0 or off > len(b) - length:
             raise IndexError("Offset/length out of range")
         self._input = bytes(b[off : off + length])
-        self._finished = False
+        self._pending = None
 
     def inflate(self, out: bytearray | memoryview, off: int = 0, length: int | None = None) -> int:
+        """Fill ``out``; an undersized buffer keeps the remainder as state
+        for the next call (java.util.zip semantics — data is never silently
+        dropped; ``finished()`` stays False until fully drained)."""
         if out is None:
             raise TypeError("Output buffer is null")
         length = (len(out) - off) if length is None else length
         if off < 0 or length < 0 or off > len(out) - length:
             raise IndexError("Offset/length out of range")
-        if not self._input:
-            raise TypeError("Input buffer is null")
-        decompressed = raw_inflate(self._input, self.nowrap, initial_size=max(length, 1 << 16))
-        n = min(len(decompressed), length)
-        out[off : off + n] = decompressed[:n]
-        self._finished = True
+        if self._pending is None:
+            if not self._input:
+                raise TypeError("Input buffer is null")
+            self._pending = raw_inflate(self._input, self.nowrap,
+                                        initial_size=max(length, 1 << 16))
+        n = min(len(self._pending), length)
+        out[off : off + n] = self._pending[:n]
+        self._pending = self._pending[n:]
         return n
 
     def finished(self) -> bool:
-        return self._finished
+        return self._pending is not None and len(self._pending) == 0
 
     def end(self) -> None:
         self._input = None

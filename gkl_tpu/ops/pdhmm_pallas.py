@@ -422,3 +422,358 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
         )(flags, hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
           p_match, p_mis, ic, haplen2, rslen2)
     return out[0]
+
+
+def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
+                  tmm_ref, tmi_ref, tmd_ref, tim_ref, tdd_ref, pmatch_ref,
+                  pmis_ref, ic_ref, haplen_ref, rslen_ref, first_ref,
+                  bm_in, bi_in, bd_in, bbm_in, bbi_in, bbd_in,
+                  out_ref, bm_out, bi_out, bd_out, bbm_out, bbi_out, bbd_out,
+                  m_ref, i_ref, d_ref, brm_ref, bri_ref, brd_ref):
+    """Read-axis-chunked PDHMM column sweep.
+
+    Same DP as ``_kernel`` for a band of read rows [r0, r0+Rc), resuming
+    from the previous chunk's last-row values per column (the ``*_in``
+    boundary tiles: M/I/D and branch BM/BI/BD at row r0-1 for every
+    column) and emitting this chunk's last row as ``*_out``.  ``first``
+    marks chunk 0, whose virtual boundary row is the DP initial row
+    (M=I=branches=0, D=ic).  Result sums accumulate into ``out`` only for
+    lanes whose (chunk-local) result row lands in this chunk.
+    """
+    R, LP = m_ref.shape
+    H = hap_ref.shape[0]
+    f32 = jnp.float32
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LP), 0)
+    read_i = read_ref[:]
+    rbit = rbit_ref[:]
+    read_is_n = read_i == _N_CODE
+    p_match = pmatch_ref[:]
+    p_mis = pmis_ref[:]
+    t_mm = tmm_ref[:]
+    t_mi = tmi_ref[:]
+    t_md = tmd_ref[:]
+    t_im = tim_ref[:]
+    t_dd = tdd_ref[:]
+    t_dd0 = t_dd[0:1]  # chunk row 0's insertion-continuation coefficient
+    ic = ic_ref[:]
+    haplen = haplen_ref[:]
+    is_first = first_ref[:] != 0  # (1, LP)
+    last_row = jnp.where((row_iota + 1) == rslen_ref[:], f32(1.0), f32(0.0))
+
+    zero = jnp.zeros((R, LP), f32)
+    zrow = jnp.zeros((1, LP), f32)
+    m_ref[:] = zero
+    i_ref[:] = zero
+    d_ref[:] = zero
+    brm_ref[:] = zero
+    bri_ref[:] = zero
+    brd_ref[:] = zero
+    out_ref[:] = jnp.zeros((1, LP), f32)
+
+    def shift1(v, first):
+        return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    a_levels = []
+    am, ae = _renorm_mant(t_dd)
+    k = 1
+    while k < R:
+        if k == 1:
+            a_levels.append((k, t_dd, None))
+        else:
+            a_levels.append((k,) + _split_coeff(am, ae))
+        m2 = am * jnp.where(row_iota >= k, pltpu.roll(am, jnp.int32(k), 0), f32(1.0))
+        e2 = ae + jnp.where(row_iota >= k, pltpu.roll(ae, jnp.int32(k), 0), jnp.int32(0))
+        am, d = _renorm_mant(m2)
+        ae = e2 + d
+        k <<= 1
+
+    block = pl.program_id(0)
+
+    def body(j, carry):
+        # carry: previous column's boundary tops (diag deps for row 0)
+        ptm, pti, ptd, ptbm, ptbi, ptbd = carry
+        hap_b = hap_ref[pl.ds(j, 1), :]
+        flag = flags_ref[block, j]
+        # this column's boundary tops (same-column top deps)
+        tm = bm_in[pl.ds(j, 1), :]
+        ti = bi_in[pl.ds(j, 1), :]
+        td = bd_in[pl.ds(j, 1), :]
+        tbm = bbm_in[pl.ds(j, 1), :]
+        tbi = bbi_in[pl.ds(j, 1), :]
+        tbd = bbd_in[pl.ds(j, 1), :]
+
+        match_basic = (read_i == hap_b) | read_is_n | (hap_b == _N_CODE)
+
+        m_l = m_ref[:]
+        i_l = i_ref[:]
+        d_l = d_ref[:]
+
+        @pl.when(flag == 0)
+        def _fast():
+            prior = jnp.where(match_basic, p_match, p_mis)
+            m_dg = shift1(m_l, ptm)
+            i_dg = shift1(i_l, pti)
+            d_dg = shift1(d_l, ptd)
+            m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
+            d = m_l * t_md + d_l * t_dd
+            # affine insertion scan; the chunk's top I folds into row 0's
+            # inhomogeneous term: b[0] = t_mi*M_top + t_ii*I_top
+            b = t_mi * shift1(m, tm) + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0))
+            for k, q_k, p2_k in a_levels:
+                b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                t = q_k * b_sh
+                if p2_k is not None:
+                    t = t * p2_k
+                b = t + b
+            m_ref[:] = m
+            i_ref[:] = b
+            d_ref[:] = d
+
+        @pl.when(flag != 0)
+        def _slow():
+            pd_b = pd_ref[pl.ds(j, 1), :]
+            st_b = st_ref[pl.ds(j, 1), :]
+            st_n = st_b == _ST_NORMAL
+            st_i = st_b == _ST_INSIDE
+            st_a = st_b == _ST_AFTER
+            del_end = (pd_b & DEL_END) != 0
+
+            pd_match = ((pd_b & SNP) != 0) & ((pd_b & rbit) != 0)
+            prior = jnp.where(match_basic | pd_match, p_match, p_mis)
+
+            bm_l = brm_ref[:]
+            bi_l = bri_ref[:]
+            bd_l = brd_ref[:]
+
+            bm = jnp.where(st_n, m_l, jnp.where(st_i, bm_l, jnp.maximum(bm_l, m_l)))
+            bi = jnp.where(st_n, i_l, jnp.where(st_i, bi_l, jnp.maximum(bi_l, i_l)))
+            bd = jnp.where(st_n, d_l, jnp.where(st_i, bd_l, jnp.maximum(bd_l, d_l)))
+
+            m_left_e = jnp.where(st_a, jnp.maximum(m_l, bm_l), m_l)
+            i_left_e = jnp.where(st_a, jnp.maximum(i_l, bi_l), i_l)
+            d_left_e = jnp.where(st_a, jnp.maximum(d_l, bd_l), d_l)
+            # row-0 diag values: the same AFTER_DEL merge applied to the
+            # previous column's boundary tops
+            ptm_e = jnp.where(st_a, jnp.maximum(ptm, ptbm), ptm)
+            pti_e = jnp.where(st_a, jnp.maximum(pti, ptbi), pti)
+            ptd_e = jnp.where(st_a, jnp.maximum(ptd, ptbd), ptd)
+
+            m_dg = shift1(m_left_e, ptm_e)
+            i_dg = shift1(i_left_e, pti_e)
+            d_dg = shift1(d_left_e, ptd_e)
+
+            m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
+            d = m_left_e * t_md + d_left_e * t_dd
+
+            m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
+            m_eff_top = jnp.where(del_end, jnp.maximum(tbm, tm), tm)
+            b_base = t_mi * shift1(m_eff, m_eff_top)
+            b = b_base + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0))
+            c = jnp.where(del_end, b_base + t_dd * shift1(bi, tbi), zero)
+            for k, q_k, p2_k in a_levels:
+                in_range = row_iota >= k
+                c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
+                b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                tc = q_k * c_sh
+                tb = q_k * b_sh
+                if p2_k is not None:
+                    tc = tc * p2_k
+                    tb = tb * p2_k
+                c = jnp.maximum(c, tc + b)
+                b = tb + b
+            ins = jnp.maximum(c, b)
+
+            m_ref[:] = m
+            i_ref[:] = ins
+            d_ref[:] = d
+            brm_ref[:] = bm
+            bri_ref[:] = bi
+            brd_ref[:] = bd
+            bbm_out[pl.ds(j, 1), :] = bm[R - 1 : R]
+            bbi_out[pl.ds(j, 1), :] = bi[R - 1 : R]
+            bbd_out[pl.ds(j, 1), :] = bd[R - 1 : R]
+
+        # boundary out: this chunk's last row (branch tiles only change on
+        # slow columns, and fast columns are never read back — the flags
+        # are column properties, identical for every chunk)
+        bm_out[pl.ds(j, 1), :] = m_ref[R - 1 : R]
+        bi_out[pl.ds(j, 1), :] = i_ref[R - 1 : R]
+        bd_out[pl.ds(j, 1), :] = d_ref[R - 1 : R]
+
+        valid = jnp.where((j + 1) <= haplen, f32(1.0), f32(0.0))
+        col_sum = jnp.sum((m_ref[:] + i_ref[:]) * last_row, axis=0, keepdims=True)
+        out_ref[:] += col_sum * valid
+        return (tm, ti, td, tbm, tbi, tbd)
+
+    # DP column 0: zero except D = ic on the virtual initial row (chunk 0)
+    d0 = jnp.where(is_first, ic, zrow)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body,
+                      (zrow, zrow, d0, zrow, zrow, zrow))
+
+
+# Measured VMEM model for the chunked kernel on v5e (16 MB scoped limit):
+# 15 f32 lane tiles scale with the read chunk (9 row inputs + 6 state) and
+# 15 with the haplotype bucket (3 hap + 12 boundary planes), and Mosaic
+# multi-buffers them ~2.9x — (Rc=512, H=224) measured at 16.13 MB, i.e.
+# ~174 B per (row-or-column) x lane.  Budget 15 MB with that coefficient.
+PDHMM_R_CHUNK = 512
+
+
+def pdhmm_single_fits(H: int, R: int, lane_block: int = LANE_BLOCK) -> bool:
+    """VMEM model for the single-pass kernel: 15 read-row tiles (9 inputs +
+    6 state) and 3 hap tiles at ~3.5x Mosaic buffering against the 16 MB
+    limit.  Measured on v5e at H=224: R=512 compiles, R=768 OOMs (20.8 MB)
+    — the previous flat R<=1024 gate was never exercised on hardware."""
+    return (15 * R + 3 * H) * lane_block <= 8400 * 128
+
+
+def _chunk_rc(H: int, lane_block: int = LANE_BLOCK) -> int:
+    """Largest POWER-OF-TWO read-chunk length the VMEM model admits for
+    this hap bucket (non-pow2 sublane counts cost Mosaic extra roll
+    temporaries — Rc=448 measured LARGER than Rc=512)."""
+    total = (15 << 20) // (174 * lane_block)  # rows + columns allowance
+    rc = PDHMM_R_CHUNK
+    while rc >= 128 and rc + H > total:
+        rc //= 2
+    return rc if rc >= 128 else 0
+
+
+def pdhmm_chunked_fits(H: int, lane_block: int = LANE_BLOCK) -> bool:
+    return _chunk_rc(H, lane_block) >= 128
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
+def _pdhmm_chunk_call(flags, hap_i, pd_i, st_i, read_c, rbit_c, tmm, tmi, tmd,
+                      tim, tdd, pmatch, pmis, ic, haplen2, rslen_local, first,
+                      bnd, *, lane_block: int, interpret: bool):
+    """One read-chunk: returns (partial out (1,P), boundary out [6 x (H,P)])."""
+    H, P = hap_i.shape
+    R = read_c.shape[0]
+
+    def lane_spec(length):
+        return pl.BlockSpec(
+            (length, lane_block),
+            lambda i, flags: (jnp.int32(0), i),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = (
+        [lane_spec(H)] * 3
+        + [lane_spec(R)] * 9
+        + [lane_spec(1)] * 4
+        + [lane_spec(H)] * 6
+    )
+    out_specs = [lane_spec(1)] + [lane_spec(H)] * 6
+    out_shapes = [jax.ShapeDtypeStruct((1, P), jnp.float32)] + [
+        jax.ShapeDtypeStruct((H, P), jnp.float32)
+    ] * 6
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P // lane_block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((R, lane_block), jnp.float32)] * 6,
+    )
+
+    with jax.enable_x64(False):
+        res = pl.pallas_call(
+            _chunk_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(flags, hap_i, pd_i, st_i, read_c, rbit_c, tmm, tmi, tmd, tim, tdd,
+          pmatch, pmis, ic, haplen2, rslen_local, first, *bnd)
+    return res[0], list(res[1:7])
+
+
+def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
+                             haplen, rslen, *, r_chunk: int | None = None,
+                             lane_block: int = LANE_BLOCK,
+                             interpret: bool = False):
+    """PDHMM forward for reads beyond the single-kernel VMEM ceiling.
+
+    The read axis relays in ``r_chunk``-row chunks: each chunk's kernel
+    resumes from the previous chunk's last-row values per column (6
+    boundary planes in HBM), the compile-once analogue of the reference
+    kernel handling any read length in one pass (pdhmm.h:1133-1290).
+    Same contract as ``pdhmm_raw_pallas``.  ``r_chunk`` defaults to the
+    largest VMEM-admissible chunk for this hap bucket (_chunk_rc).
+    """
+    ctx = ctx_mod.pdhmm_context("float32")
+    f = jnp.float32
+    H, P = hap.shape
+    R = read.shape[0]
+    assert P % lane_block == 0, (P, lane_block)
+    if r_chunk is None:
+        r_chunk = _chunk_rc(H, lane_block)
+    assert r_chunk > 0, (H, lane_block)
+
+    def qidx(x):
+        return jnp.minimum(x.astype(jnp.int32), ctx_mod.MAX_QUAL)
+
+    im = qidx(iq)
+    dm = qidx(dq)
+    cm = qidx(gcp)
+    qm = qidx(q)
+    t_mm = _m2m_pdhmm_arith(im, dm)
+    t_mi = _q2e_arith(im)
+    t_md = _q2e_arith(dm)
+    q2e_cm = _q2e_arith(cm)
+    t_im = f(1.0) - q2e_cm
+    t_dd = q2e_cm
+    err = _q2e_arith(qm)
+    p_match = f(1.0) - err
+    p_mis = err / f(3.0)
+
+    read_i = read.astype(jnp.int32)
+    rbit = jnp.zeros_like(read_i)
+    for _c, _b in _READ_BIT_PAIRS:
+        rbit = jnp.where(read_i == _c, _b, rbit)
+    ic = (jnp.asarray(ctx.INITIAL_CONDITION, f) / haplen.astype(f))[None, :]
+    hap_i = hap.astype(jnp.int32)
+    pd_i = hap_pd.astype(jnp.int32)
+    st_i = states.astype(jnp.int32)
+    haplen2 = haplen.astype(jnp.int32)[None, :]
+    rslen_i = rslen.astype(jnp.int32)
+
+    nblocks = P // lane_block
+    eventful = (pd_i != 0) | (st_i != 0)
+    flags = (
+        eventful.reshape(H, nblocks, lane_block).any(axis=2).astype(jnp.int32).T
+    )
+
+    n_chunks = -(-R // r_chunk)
+    R_pad = n_chunks * r_chunk
+    if R_pad != R:
+        padr = ((0, R_pad - R), (0, 0))
+        read_i = jnp.pad(read_i, padr)
+        rbit = jnp.pad(rbit, padr)
+        # benign pad transitions (any finite value works: padded rows never
+        # reach a lane's result row and only feed rows past it)
+        t_mm = jnp.pad(t_mm, padr, constant_values=0.5)
+        t_mi = jnp.pad(t_mi, padr, constant_values=0.1)
+        t_md = jnp.pad(t_md, padr, constant_values=0.1)
+        t_im = jnp.pad(t_im, padr, constant_values=0.9)
+        t_dd = jnp.pad(t_dd, padr, constant_values=0.1)
+        p_match = jnp.pad(p_match, padr, constant_values=0.9)
+        p_mis = jnp.pad(p_mis, padr, constant_values=0.03)
+
+    zerof = jnp.zeros((H, P), f)
+    ic_plane = jnp.broadcast_to(ic, (H, P))
+    bnd = [zerof, zerof, ic_plane, zerof, zerof, zerof]
+    out = jnp.zeros((1, P), f)
+    for c in range(n_chunks):
+        r0 = c * r_chunk
+        sl = slice(r0, r0 + r_chunk)
+        first = jnp.full((1, P), 1 if c == 0 else 0, jnp.int32)
+        rslen_local = (rslen_i - r0)[None, :]
+        part, bnd = _pdhmm_chunk_call(
+            flags, hap_i, pd_i, st_i, read_i[sl], rbit[sl], t_mm[sl],
+            t_mi[sl], t_md[sl], t_im[sl], t_dd[sl], p_match[sl], p_mis[sl],
+            ic, haplen2, rslen_local, first, bnd,
+            lane_block=lane_block, interpret=interpret,
+        )
+        out = out + part
+    return out[0]

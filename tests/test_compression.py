@@ -205,3 +205,19 @@ def test_fast_deflate_ratio():
                  + zlib.compressobj(1, zlib.DEFLATED, -zlib.MAX_WBITS).flush())
         f2 = len(comp.raw_deflate(data, 2, nowrap=True))
         assert f2 <= 1.10 * z1, (f2, z1)
+
+
+def test_inflater_undersized_buffer_keeps_remainder():
+    """An undersized output buffer must not lose data: the remainder stays
+    as inflater state and drains on subsequent calls (java.util.zip
+    semantics; the single-shot form previously truncated silently)."""
+    data = CORPUS[:10000]
+    c = comp.raw_deflate(data, 6, nowrap=True)
+    i = comp.Inflater(nowrap=True)
+    i.set_input(c)
+    out = bytearray()
+    buf = bytearray(3000)
+    while not i.finished():
+        n = i.inflate(buf)
+        out += buf[:n]
+    assert bytes(out) == data
