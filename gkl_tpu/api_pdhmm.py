@@ -204,6 +204,36 @@ class PDHMM:
         out = np.zeros(n, np.float64)
         lane_multiple = self._lane_multiple or batch_mod.default_lane_multiple()
 
+        # Non-TPU backends: the native batch oracle IS the engine — serial
+        # f64 with gradual underflow (the reference's exact numeric
+        # envelope, pdhmm-serial.cc) on a thread pool.  It outruns the jnp
+        # scan engine ~10x on CPU and needs no rescue ladder at all.  The
+        # jnp engine remains the no-native fallback and the TPU comparison
+        # baseline; KernelLevel.SCALAR forces it explicitly.
+        if (
+            self.mesh is None
+            and not utils.is_tpu_available()
+            and self.args.kernel_level == KernelLevel.FASTEST_AVAILABLE
+            and rescue
+        ):
+            from . import native_lib
+            from .ops import pdhmm_ref
+
+            if native_lib.load("gkl_pdhmm_oracle") is not None:
+                out = pdhmm_ref.pdhmm_scalar_batch(haps, hap_pds, reads, quals)
+                if profiling.metrics_enabled():
+                    cells = sum(len(r) * len(h) for r, h in zip(reads, haps))
+                    profiling.METRICS.record(
+                        "pdhmm", items=n, cells=cells,
+                        seconds=_time.perf_counter() - t0,
+                    )
+                bad = ~np.isfinite(out) & ~np.isneginf(out) | (out > 0.0)
+                if np.any(bad):
+                    raise RuntimeError(
+                        f"PDHMM produced invalid log10 probabilities at indices {np.nonzero(bad)[0][:10]}"
+                    )
+                return out
+
         # Group lanes by haplotype so PD-event columns align across each
         # 128-lane block — the Pallas kernel's fast/slow column split then
         # skips the branch machinery on event-free columns for the whole
@@ -247,22 +277,34 @@ class PDHMM:
             )
             res = res[: packed.n_real]
             raw_n = raw[: packed.n_real]
+            # Underflow rescue (the reference's float->double recompute,
+            # IntelPairHmm.cc:157-165 applied to PDHMM): every lane below
+            # MIN_ACCEPTED reruns through the native batch oracle — exact
+            # serial f64 WITH gradual underflow (the reference's own
+            # numeric envelope; device/XLA backends flush subnormals), on a
+            # thread pool.  One stage replaces the previous f64-jnp-pass +
+            # per-lane-oracle ladder: the oracle is both more exact than
+            # the reassociated f64 scans and fast enough to be the only
+            # rescue engine.  (A scaled-f32 on-device rescue like PairHMM's
+            # is architecturally unavailable here: the column sweep's state
+            # tile simultaneously holds fresh ic-scale rows and fully
+            # decayed rows, so intra-tile dynamic range exceeds any single
+            # per-lane scale — docs/DESIGN.md.)
             if dtype == "float32" and rescue:
                 needs = raw_n < MIN_ACCEPTED
                 if np.any(needs):
-                    res64, raw64 = self._run_packed(
-                        packed.hap, hap_pd, packed.read, packed.q, packed.iq,
-                        packed.dq, packed.gcp, packed.haplen, packed.rslen, "float64",
+                    from .ops import pdhmm_ref
+
+                    ks = np.nonzero(needs)[0]
+                    ids = [idxs[k] for k in ks]
+                    res[ks] = pdhmm_ref.pdhmm_scalar_batch(
+                        [haps[i] for i in ids], [hap_pds[i] for i in ids],
+                        [reads[i] for i in ids], [quals[i] for i in ids],
                     )
-                    res = np.where(needs, res64[: packed.n_real], res)
-                    raw_n = np.where(needs, raw64[: packed.n_real], raw_n)
-            # Deep-underflow lanes: XLA flushes f64 subnormals while the
-            # reference relies on gradual underflow (its golden values encode
-            # subnormal quantization).  Below ~1e-283 raw probability the
-            # reference's own intermediates go subnormal, so those lanes are
-            # recomputed with the scalar oracle, whose numpy arithmetic
-            # reproduces gradual underflow bit-for-bit-ish.
-            if rescue:
+            elif rescue:
+                # double-only mode: lanes whose f64 scan underflowed to
+                # flush-zero or into the subnormal parity zone still need
+                # the gradual-underflow oracle
                 deep = (raw_n == 0.0) | (res < self._EXACT_FALLBACK_LOG10)
                 if np.any(deep):
                     from .ops import pdhmm_ref
