@@ -178,3 +178,50 @@ def test_scaled_kernel_growing_pad_tail():
     recon = np.asarray(m).astype(np.float64) * np.exp2(np.asarray(e).astype(np.float64))
     assert np.all(ref > 0)
     np.testing.assert_allclose(recon, ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed,R,H,rc", [(0, 24, 16, 8), (1, 40, 24, 16), (2, 32, 32, 8)])
+def test_pdhmm_chunked_fuzz(seed, R, H, rc):
+    """Read-axis-chunked PDHMM vs the single-pass kernel across random
+    lengths and PD events (chunk boundaries land mid-read for most lanes)."""
+    from gkl_tpu.ops.pdhmm_pallas import pdhmm_raw_pallas_chunked
+
+    rng = np.random.default_rng(300 + seed)
+    hap, read, q, iq, dq, gcp, haplen, rslen = _pairhmm_batch(rng, R, H, 16)
+    hap_pd = np.zeros((H, 16), np.uint8)
+    for p in range(16):
+        j = int(rng.integers(0, max(1, H - 6)))
+        hap_pd[j, p] = 2
+        hap_pd[j + int(rng.integers(1, 4)), p] = 4
+        s = int(rng.integers(0, H))
+        hap_pd[s, p] |= 1 | int(rng.choice([8, 16, 32, 64]))
+    states = pdhmm_ops.column_states(hap_pd)
+    args = (hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen)
+    full = np.asarray(pdhmm_raw_pallas(*args, lane_block=8, interpret=True))
+    ch = np.asarray(pdhmm_raw_pallas_chunked(*args, r_chunk=rc, lane_block=8,
+                                             interpret=True))
+    ok = full > 1e-28
+    np.testing.assert_allclose(ch[ok], full[ok], rtol=3e-5)
+
+
+@pytest.mark.parametrize("seed,N,M,seg,ib", [(0, 32, 16, 8, False), (1, 48, 24, 16, True)])
+def test_sw_relay_fuzz(seed, N, M, seg, ib):
+    """SW segment relay vs the single-call kernel across random lengths
+    (bit-equal: the DP is integer)."""
+    from gkl_tpu.ops.sw_pallas import sw_forward_pallas_relay
+
+    rng = np.random.default_rng(400 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rng.integers(0, 4, (N, 16))]
+    alt = bases[rng.integers(0, 4, (M, 16))]
+    k = min(N, M)
+    alt[:k, ::2] = ref[:k, ::2]
+    reflen = rng.integers(1, N + 1, 16).astype(np.int32)
+    altlen = rng.integers(1, M + 1, 16).astype(np.int32)
+    a = sw_forward_pallas(ref, alt, reflen, altlen, 200, -150, -260, -11,
+                          indel_boundary=ib, lane_block=8, interpret=True)
+    b = sw_forward_pallas_relay(ref, alt, reflen, altlen, 200, -150, -260,
+                                -11, indel_boundary=ib, seg=seg, lane_block=8,
+                                interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
