@@ -235,7 +235,15 @@ class SmithWaterman:
                 from . import parallel
 
                 with self.mesh:
-                    if self._use_pallas(N, M, P) and P % (128 * self.mesh.size) == 0:
+                    pal_mesh = P % (128 * self.mesh.size) == 0
+                    if (pal_mesh and N > sw_pallas.SW_RELAY_SEG
+                            and self._use_pallas(sw_pallas.SW_RELAY_SEG, M, P)):
+                        bt, lastrow, lastcol = parallel.sw_forward_pallas_relay_sharded(
+                            self.mesh, ref_a, alt_a, reflen, altlen, parameters,
+                            indel_boundary=indel_boundary,
+                        )
+                        bt = np.ascontiguousarray(np.asarray(bt))
+                    elif pal_mesh and self._use_pallas(N, M, P):
                         # mesh path keeps the Pallas fast path: each shard
                         # runs the same kernel on its lanes (shard_map)
                         bt, lastrow, lastcol = parallel.sw_forward_pallas_sharded(

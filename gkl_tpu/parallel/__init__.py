@@ -23,6 +23,7 @@ from .mesh import (
     pdhmm_raw_pallas_sharded,
     pdhmm_raw_sharded,
     shard_pairs,
+    sw_forward_pallas_relay_sharded,
     sw_forward_pallas_sharded,
     sw_forward_sharded,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "pdhmm_raw_pallas_sharded",
     "pdhmm_raw_sharded",
     "shard_pairs",
+    "sw_forward_pallas_relay_sharded",
     "sw_forward_pallas_sharded",
     "sw_forward_sharded",
 ]

@@ -292,3 +292,93 @@ def sw_forward_sharded(mesh: Mesh, ref, alt, reflen, altlen, params,
         params.gap_open_penalty, params.gap_extend_penalty,
         indel_boundary,
     )
+
+
+@functools.lru_cache(maxsize=128)
+def _sw_relay_segment_sharded_fn(mesh: Mesh, params_key: tuple,
+                                 indel_boundary: bool, lane_block: int,
+                                 interpret: bool):
+    from ..ops import sw_pallas
+
+    match, mismatch, gap_open, gap_extend = params_key
+
+    def local(ref_seg, alt, reflen, altlen, h, f, lr, rowbase):
+        import jax.numpy as jnp
+
+        P_loc = ref_seg.shape[1]
+        wm = jnp.full((1, P_loc), match, jnp.int32)
+        wx = jnp.full((1, P_loc), mismatch, jnp.int32)
+        wo = jnp.full((1, P_loc), gap_open, jnp.int32)
+        we = jnp.full((1, P_loc), gap_extend, jnp.int32)
+        return sw_pallas._sw_relay_segment(
+            ref_seg, alt, reflen, altlen, wm, wx, wo, we, h, f, lr, rowbase,
+            indel_boundary=indel_boundary, lane_block=lane_block,
+            interpret=interpret,
+        )
+
+    lane = P(None, "dp")
+    vec1 = P(None, "dp")  # (1, P) rows shard over lanes too
+    ls = lane_sharding(mesh)
+    return jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(lane, lane, vec1, vec1, lane, lane, lane, vec1),
+        out_specs=(P("dp", None, None), lane, P("dp", None), lane, lane),
+        check_vma=False,
+    ), in_shardings=(ls,) * 2 + (ls,) * 2 + (ls,) * 3 + (ls,))
+
+
+def sw_forward_pallas_relay_sharded(mesh: Mesh, ref, alt, reflen, altlen,
+                                    params, *, indel_boundary: bool = False,
+                                    seg: int | None = None,
+                                    lane_block: int = 128,
+                                    interpret: bool = False):
+    """Segment-relayed SW under the dp mesh: each shard runs the relay
+    segment kernel on its lanes; the carried H/F/lastrow state stays
+    device-resident and sharded between segments.  Output contract matches
+    ``sw_pallas.sw_forward_pallas_relay``."""
+    from ..ops import sw_pallas
+
+    if seg is None:
+        seg = sw_pallas.SW_RELAY_SEG
+    N, Pn = np.asarray(ref).shape
+    M = np.asarray(alt).shape[0]
+    assert N % seg == 0 and Pn % (lane_block * mesh.size) == 0
+
+    M_pad = sw_pallas._pad_m(M)
+    alt = np.asarray(alt, np.int32)
+    if M_pad != M:
+        alt = np.concatenate([alt, np.full((M_pad - M, Pn), 1, np.int32)])
+        M = M_pad
+    ref = np.asarray(ref, np.int32)
+    col = np.arange(M, dtype=np.int32)[:, None]
+    if indel_boundary:
+        h0 = (params.gap_open_penalty + col * params.gap_extend_penalty
+              ).astype(np.int32) * np.ones((1, Pn), np.int32)
+    else:
+        h0 = np.zeros((M, Pn), np.int32)
+    from ..ops.sw import LOW_INIT_VALUE
+
+    f0 = np.full((M, Pn), LOW_INIT_VALUE, np.int32)
+    lr0 = np.zeros((M, Pn), np.int32)
+    reflen2 = np.asarray(reflen, np.int32)[None, :]
+    altlen2 = np.asarray(altlen, np.int32)[None, :]
+
+    key = (int(params.match_value), int(params.mismatch_penalty),
+           int(params.gap_open_penalty), int(params.gap_extend_penalty))
+    fn = _sw_relay_segment_sharded_fn(mesh, key, indel_boundary, lane_block,
+                                      interpret)
+
+    bt_host = np.empty((Pn, N // 2, M), np.uint8)
+    lc_host = np.empty((Pn, N), np.int32)
+    h, f, lr = h0, f0, lr0
+    lastrow = None
+    with mesh:
+        for s0 in range(0, N, seg):
+            bt_s, lastrow, lc_s, h, f = fn(
+                ref[s0 : s0 + seg], alt, reflen2, altlen2, h, f, lr,
+                np.full((1, Pn), s0, np.int32))
+            lr = lastrow
+            bt_host[:, s0 // 2 : (s0 + seg) // 2] = np.asarray(bt_s)
+            lc_host[:, s0 : s0 + seg] = np.asarray(lc_s)
+    return bt_host, np.asarray(lastrow), lc_host

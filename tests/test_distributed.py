@@ -222,3 +222,29 @@ def test_api_mesh_selects_pallas(monkeypatch):
     assert calls["scaled"] >= 1, "mesh path did not use the Pallas scaled kernel"
     expected = np.array([c.expected for c in cases])
     np.testing.assert_allclose(out.reshape(3, 3).diagonal(), expected, atol=1e-5)
+
+
+def test_sw_relay_sharded_bit_parity():
+    """The segment-relayed SW under shard_map must match the unsharded
+    relay bit-for-bit (integer DP)."""
+    from gkl_tpu.api_sw import SWParameters
+    from gkl_tpu.ops import sw_pallas
+
+    mesh = parallel.data_parallel_mesh(8)
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    N, M, P = 32, 16, 64
+    ref = bases[rng.integers(0, 4, (N, P))]
+    alt = bases[rng.integers(0, 4, (M, P))]
+    alt[: M, ::2] = ref[:M, ::2]
+    reflen = rng.integers(4, N + 1, P).astype(np.int32)
+    altlen = rng.integers(4, M + 1, P).astype(np.int32)
+    params = SWParameters(200, -150, -260, -11)
+    got = parallel.sw_forward_pallas_relay_sharded(
+        mesh, ref, alt, reflen, altlen, params, seg=8, lane_block=8,
+        interpret=True)
+    want = sw_pallas.sw_forward_pallas_relay(
+        ref, alt, reflen, altlen, 200, -150, -260, -11,
+        indel_boundary=False, seg=8, lane_block=8, interpret=True)
+    for x, y in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
