@@ -212,7 +212,7 @@ class PairHMM:
         import os
 
         H, R = packed.hap.shape[0], packed.read.shape[0]
-        if not (self._use_pallas(H) and R % 4 == 0):
+        if not (self._use_pallas(H) and R % 8 == 0):
             return None
         if self.mesh is not None:
             if packed.hap.shape[1] % (128 * self.mesh.size):

