@@ -290,26 +290,18 @@ class PDHMM:
             # tile simultaneously holds fresh ic-scale rows and fully
             # decayed rows, so intra-tile dynamic range exceeds any single
             # per-lane scale — docs/DESIGN.md.)
-            if dtype == "float32" and rescue:
-                needs = raw_n < MIN_ACCEPTED
+            if rescue:
+                if dtype == "float32":
+                    needs = raw_n < MIN_ACCEPTED
+                else:
+                    # double-only mode: lanes whose f64 scan underflowed to
+                    # flush-zero or into the subnormal parity zone still
+                    # need the gradual-underflow oracle
+                    needs = (raw_n == 0.0) | (res < self._EXACT_FALLBACK_LOG10)
                 if np.any(needs):
                     from .ops import pdhmm_ref
 
                     ks = np.nonzero(needs)[0]
-                    ids = [idxs[k] for k in ks]
-                    res[ks] = pdhmm_ref.pdhmm_scalar_batch(
-                        [haps[i] for i in ids], [hap_pds[i] for i in ids],
-                        [reads[i] for i in ids], [quals[i] for i in ids],
-                    )
-            elif rescue:
-                # double-only mode: lanes whose f64 scan underflowed to
-                # flush-zero or into the subnormal parity zone still need
-                # the gradual-underflow oracle
-                deep = (raw_n == 0.0) | (res < self._EXACT_FALLBACK_LOG10)
-                if np.any(deep):
-                    from .ops import pdhmm_ref
-
-                    ks = np.nonzero(deep)[0]
                     ids = [idxs[k] for k in ks]
                     res[ks] = pdhmm_ref.pdhmm_scalar_batch(
                         [haps[i] for i in ids], [hap_pds[i] for i in ids],

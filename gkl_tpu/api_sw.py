@@ -128,15 +128,22 @@ class SmithWaterman:
             and sw_pallas.sw_pallas_fits(N, M)
         )
 
-    @classmethod
-    def _device_eligible(cls, rlen: int, alen: int) -> bool:
+    def _device_eligible(self, rlen: int, alen: int) -> bool:
         """Device coverage: the Pallas kernel streams the reference axis, so
         N extends to the full 32767 range as long as the alt axis fits VMEM
         (sw_pallas_fits) and the backtrack tensor fits the HBM budget at
         the minimum 128-lane batch — the TPU analogue of the reference's
         on-demand matrix growth (PairWiseSW.h:454-501).  Non-TPU backends
         keep the jnp engine's DEVICE_MAX_LEN ceiling."""
-        if not cls._pallas_possible():
+        # the Pallas rules below only apply when the lane padding the
+        # dispatch will use actually satisfies the kernel's lane-block
+        # constraint (a custom lane_multiple can break P % 128)
+        lm = self._lane_multiple or batch_mod.default_lane_multiple()
+        if self.mesh is not None:
+            lane_ok = lm % (128 * self.mesh.size) == 0
+        else:
+            lane_ok = lm % 128 == 0
+        if not (self._pallas_possible() and lane_ok):
             return max(rlen, alen) <= DEVICE_MAX_LEN
         from .ops import sw_pallas
 
@@ -326,7 +333,7 @@ class SmithWaterman:
         """``bt_packed`` is the lane's (N//2, stride) row-pair-packed
         backtrack (rows 2k/2k+1 in the low/high nibble)."""
         if self._native is not None:
-            cap = 2 * max(n, m) + 16
+            cap = 2 * (n + m) + 16  # worst case: 2 chars per length-1 run
             buf = ctypes.create_string_buffer(cap)
             offset = ctypes.c_int32()
             score = ctypes.c_int32()
@@ -375,7 +382,7 @@ class SmithWaterman:
         alt_off = np.zeros(n, np.int64)
         np.cumsum(ref_len[:-1], out=ref_off[1:])
         np.cumsum(alt_len[:-1], out=alt_off[1:])
-        stride = int(2 * max(ref_len.max(), alt_len.max()) + 16)
+        stride = int(2 * (ref_len.max() + alt_len.max()) + 16)  # worst-case CIGAR
         cigars = ctypes.create_string_buffer(n * stride)
         offsets = np.zeros(n, np.int32)
         scores = np.zeros(n, np.int32)
@@ -404,7 +411,7 @@ class SmithWaterman:
     def _align_scalar(self, ref, alt, p: SWParameters, strategy) -> SWAlignerResult:
         if self._native is not None:
             n, m = len(ref), len(alt)
-            cap = 2 * max(n, m) + 16
+            cap = 2 * (n + m) + 16
             buf = ctypes.create_string_buffer(cap)
             offset = ctypes.c_int32()
             score = ctypes.c_int32()

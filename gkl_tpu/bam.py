@@ -300,11 +300,15 @@ def try_parse_header(payload) -> tuple[BamHeader, int] | None:
     if off + 4 > n:
         return None
     (n_ref,) = struct.unpack_from("<i", payload, off)
+    if n_ref < 0:
+        raise ValueError("corrupt BAM header (negative n_ref)")
     probe = off + 4
     for _ in range(n_ref):
         if probe + 4 > n:
             return None
         (l_name,) = struct.unpack_from("<i", payload, probe)
+        if l_name < 1:  # also guards the probe against a non-advancing loop
+            raise ValueError("corrupt BAM header (non-positive ref name length)")
         probe += 4 + l_name + 4
     if probe > n:
         return None

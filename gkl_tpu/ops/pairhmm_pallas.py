@@ -176,8 +176,16 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         # state's factor
         acc_m, e_acc, e_state = carry
         acc_chunk = jnp.zeros_like(acc_m)
+        live_mid = None
         for k in range(8):
             acc_chunk = row_body(c * 8 + jnp.int32(k), acc_chunk)
+            if k == 3:
+                # mid-chunk liveness sample: keeps the die-and-refill
+                # detection at the original 4-row cadence even though the
+                # rescale (and flag fold) runs every 8 rows — a column that
+                # flushes and refills within the window is still caught
+                mid = (m_ref[:] + x_ref[:] + y_ref[:]) * col_valid
+                live_mid = jnp.where(mid > f32(0.0), jnp.int32(1), jnp.int32(0))
         # fold the chunk by comparing VALUE exponents (scale + mantissa
         # exponent), never nominal scales: after a lane's result row,
         # garbage pad rows with low quals can GROW the state (gcp=0 turns Y
@@ -220,7 +228,8 @@ def _scaled_kernel(hap_ref, packed_ref, inity_ref, rslen_ref, haplen_ref,
         # kills whole columns — components are coupled and die together
         # within a chunk or two)
         live_now = jnp.where(m_v + x_v + y_v > f32(0.0), jnp.int32(1), jnp.int32(0))
-        lost = jnp.where(live_ref[:] > live_now, jnp.int32(1), jnp.int32(0))
+        live_min = jnp.minimum(live_mid, live_now)
+        lost = jnp.where(live_ref[:] > live_min, jnp.int32(1), jnp.int32(0))
         gate = rslen > c * 8  # result not yet collected for this lane
         flag_ref[:] = flag_ref[:] | jnp.where(
             gate, jnp.max(lost, axis=0, keepdims=True), jnp.int32(0)

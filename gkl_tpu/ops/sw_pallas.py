@@ -395,6 +395,52 @@ def _sw_relay_segment(ref_seg, alt, reflen, altlen, wm, wx, wo, we,
     return jnp.transpose(bt, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0)), h_out, f_out
 
 
+def relay_prolog(ref, alt, reflen, altlen, gap_open, gap_extend,
+                 indel_boundary: bool):
+    """Shared relay setup (single-device and mesh paths): pow2-pad the alt
+    axis, build the virtual row-0 carried state (H/F/lastrow), and convert
+    sequences to i32 (u8 VMEM tiles take (32, 128) tiling, which breaks
+    the kernel's dynamic single-row reads and the == compare typing)."""
+    import numpy as np_
+
+    P = np_.asarray(ref).shape[1]
+    M = np_.asarray(alt).shape[0]
+    M_pad = _pad_m(M)
+    alt_i = np_.asarray(alt, np_.int32)
+    if M_pad != M:
+        alt_i = np_.concatenate([alt_i, np_.full((M_pad - M, P), 1, np_.int32)])
+    ref_i = np_.asarray(ref, np_.int32)
+    col = np_.arange(M_pad, dtype=np_.int32)[:, None]
+    if indel_boundary:
+        h0 = (gap_open + col * gap_extend).astype(np_.int32) * np_.ones((1, P), np_.int32)
+    else:
+        h0 = np_.zeros((M_pad, P), np_.int32)
+    f0 = np_.full((M_pad, P), LOW_INIT_VALUE, np_.int32)
+    lr0 = np_.zeros((M_pad, P), np_.int32)
+    reflen2 = np_.asarray(reflen, np_.int32)[None, :]
+    altlen2 = np_.asarray(altlen, np_.int32)[None, :]
+    return ref_i, alt_i, h0, f0, lr0, reflen2, altlen2, M_pad
+
+
+def relay_drive(segment_call, ref_i, N, M, P, seg, h0, f0, lr0):
+    """Shared relay loop: run ``segment_call(ref_seg, h, f, lr, rowbase)``
+    per segment, carry the state, and assemble bt/lastcol on host so
+    device and host memory are bounded by one segment at a time."""
+    import numpy as np_
+
+    bt_host = np_.empty((P, N // 2, M), np_.uint8)
+    lc_host = np_.empty((P, N), np_.int32)
+    h, f, lr = h0, f0, lr0
+    lastrow = None
+    for s0 in range(0, N, seg):
+        bt_s, lastrow, lc_s, h, f = segment_call(
+            ref_i[s0 : s0 + seg], h, f, lr, np_.full((1, P), s0, np_.int32))
+        lr = lastrow
+        bt_host[:, s0 // 2 : (s0 + seg) // 2] = np_.asarray(bt_s)
+        lc_host[:, s0 : s0 + seg] = np_.asarray(lc_s)
+    return bt_host, np_.asarray(lastrow), lc_host
+
+
 def sw_forward_pallas_relay(ref, alt, reflen, altlen, match, mismatch,
                             gap_open, gap_extend, *, indel_boundary: bool,
                             seg: int = SW_RELAY_SEG,
@@ -403,54 +449,22 @@ def sw_forward_pallas_relay(ref, alt, reflen, altlen, match, mismatch,
     """Segmented SW forward for reference lengths beyond one kernel's span.
 
     Same output contract as ``sw_forward_pallas`` (row-pair-packed bt with
-    the pow2-padded alt stride) with ``N`` any multiple of ``seg``; the bt
-    and lastcol pieces are assembled on host per segment, so device and
-    host memory are bounded by one segment at a time.
+    the pow2-padded alt stride) with ``N`` any multiple of ``seg``.
     """
     import numpy as np_
 
     N, P = ref.shape
-    M = alt.shape[0]
     assert N % seg == 0 and P % lane_block == 0, (N, seg, P)
-    i32 = jnp.int32
-
-    M_pad = _pad_m(M)
-    if M_pad != M:
-        alt = np_.concatenate(
-            [np_.asarray(alt), np_.full((M_pad - M, P), 1, alt.dtype)])
-        M = M_pad
-    col = np_.arange(M, dtype=np_.int32)[:, None]
-    if indel_boundary:
-        h0 = (gap_open + col * gap_extend).astype(np_.int32) * np_.ones((1, P), np_.int32)
-    else:
-        h0 = np_.zeros((M, P), np_.int32)
-    f0 = np_.full((M, P), LOW_INIT_VALUE, np_.int32)
-    lr0 = np_.zeros((M, P), np_.int32)
-
+    ref_i, alt_i, h0, f0, lr0, reflen2, altlen2, M = relay_prolog(
+        ref, alt, reflen, altlen, gap_open, gap_extend, indel_boundary)
     ones = np_.ones((1, P), np_.int32)
-    wm = ones * match
-    wx = ones * mismatch
-    wo = ones * gap_open
-    we = ones * gap_extend
-    reflen2 = np_.asarray(reflen, np_.int32)[None, :]
-    altlen2 = np_.asarray(altlen, np_.int32)[None, :]
-    # i32 sequences: u8 VMEM tiles take (32, 128) tiling, which breaks the
-    # kernel's dynamic single-row reads (and the == compare typing)
-    ref = np_.asarray(ref, np_.int32)
-    alt = np_.asarray(alt, np_.int32)
+    wm, wx, wo, we = ones * match, ones * mismatch, ones * gap_open, ones * gap_extend
 
-    bt_host = np_.empty((P, N // 2, M), np_.uint8)
-    lc_host = np_.empty((P, N), np_.int32)
-    h, f, lr = h0, f0, lr0
-    lastrow = None
-    for s0 in range(0, N, seg):
-        bt_s, lastrow, lc_s, h, f = _sw_relay_segment(
-            ref[s0 : s0 + seg], alt, reflen2, altlen2, wm, wx, wo, we,
-            h, f, lr, jnp.full((1, P), s0, np_.int32),
-            indel_boundary=indel_boundary, lane_block=lane_block,
+    def segment_call(ref_seg, h, f, lr, rowbase):
+        return _sw_relay_segment(
+            ref_seg, alt_i, reflen2, altlen2, wm, wx, wo, we, h, f, lr,
+            rowbase, indel_boundary=indel_boundary, lane_block=lane_block,
             interpret=interpret,
         )
-        lr = lastrow
-        bt_host[:, s0 // 2 : (s0 + seg) // 2] = np_.asarray(bt_s)
-        lc_host[:, s0 : s0 + seg] = np_.asarray(lc_s)
-    return bt_host, np_.asarray(lastrow), lc_host
+
+    return relay_drive(segment_call, ref_i, N, M, P, seg, h0, f0, lr0)

@@ -342,43 +342,19 @@ def sw_forward_pallas_relay_sharded(mesh: Mesh, ref, alt, reflen, altlen,
     if seg is None:
         seg = sw_pallas.SW_RELAY_SEG
     N, Pn = np.asarray(ref).shape
-    M = np.asarray(alt).shape[0]
     assert N % seg == 0 and Pn % (lane_block * mesh.size) == 0
 
-    M_pad = sw_pallas._pad_m(M)
-    alt = np.asarray(alt, np.int32)
-    if M_pad != M:
-        alt = np.concatenate([alt, np.full((M_pad - M, Pn), 1, np.int32)])
-        M = M_pad
-    ref = np.asarray(ref, np.int32)
-    col = np.arange(M, dtype=np.int32)[:, None]
-    if indel_boundary:
-        h0 = (params.gap_open_penalty + col * params.gap_extend_penalty
-              ).astype(np.int32) * np.ones((1, Pn), np.int32)
-    else:
-        h0 = np.zeros((M, Pn), np.int32)
-    from ..ops.sw import LOW_INIT_VALUE
-
-    f0 = np.full((M, Pn), LOW_INIT_VALUE, np.int32)
-    lr0 = np.zeros((M, Pn), np.int32)
-    reflen2 = np.asarray(reflen, np.int32)[None, :]
-    altlen2 = np.asarray(altlen, np.int32)[None, :]
-
+    ref_i, alt_i, h0, f0, lr0, reflen2, altlen2, M = sw_pallas.relay_prolog(
+        ref, alt, reflen, altlen, params.gap_open_penalty,
+        params.gap_extend_penalty, indel_boundary)
     key = (int(params.match_value), int(params.mismatch_penalty),
            int(params.gap_open_penalty), int(params.gap_extend_penalty))
     fn = _sw_relay_segment_sharded_fn(mesh, key, indel_boundary, lane_block,
                                       interpret)
 
-    bt_host = np.empty((Pn, N // 2, M), np.uint8)
-    lc_host = np.empty((Pn, N), np.int32)
-    h, f, lr = h0, f0, lr0
-    lastrow = None
+    def segment_call(ref_seg, h, f, lr, rowbase):
+        return fn(ref_seg, alt_i, reflen2, altlen2, h, f, lr, rowbase)
+
     with mesh:
-        for s0 in range(0, N, seg):
-            bt_s, lastrow, lc_s, h, f = fn(
-                ref[s0 : s0 + seg], alt, reflen2, altlen2, h, f, lr,
-                np.full((1, Pn), s0, np.int32))
-            lr = lastrow
-            bt_host[:, s0 // 2 : (s0 + seg) // 2] = np.asarray(bt_s)
-            lc_host[:, s0 : s0 + seg] = np.asarray(lc_s)
-    return bt_host, np.asarray(lastrow), lc_host
+        return sw_pallas.relay_drive(segment_call, ref_i, N, M, Pn, seg,
+                                     h0, f0, lr0)

@@ -129,14 +129,21 @@ def test_device_eligibility_tpu_rules(monkeypatch):
     from gkl_tpu.api_sw import DEVICE_MAX_LEN, SmithWaterman
 
     monkeypatch.setattr(SmithWaterman, "_pallas_possible", staticmethod(lambda: True))
-    assert SmithWaterman._device_eligible(8000, 500)
-    assert SmithWaterman._device_eligible(32000, 500)
-    assert SmithWaterman._device_eligible(8000, 2048)
-    assert not SmithWaterman._device_eligible(500, 4000)   # alt axis > VMEM
-    assert not SmithWaterman._device_eligible(32000, 2048) # bt tensor > HBM budget
+    sw = SmithWaterman(lane_multiple=128)
+    assert sw._device_eligible(8000, 500)
+    assert sw._device_eligible(32000, 500)
+    assert sw._device_eligible(8000, 2048)
+    assert not sw._device_eligible(500, 4000)   # alt axis > VMEM
+    assert not sw._device_eligible(32000, 2048) # bt tensor > HBM budget
+    # a lane multiple that breaks the Pallas 128-lane constraint must fall
+    # back to the jnp ceiling (the dispatch could otherwise OOM at big N)
+    sw8 = SmithWaterman(lane_multiple=8)
+    assert not sw8._device_eligible(8000, 500)
+    assert sw8._device_eligible(DEVICE_MAX_LEN, DEVICE_MAX_LEN)
     monkeypatch.setattr(SmithWaterman, "_pallas_possible", staticmethod(lambda: False))
-    assert SmithWaterman._device_eligible(DEVICE_MAX_LEN, DEVICE_MAX_LEN)
-    assert not SmithWaterman._device_eligible(DEVICE_MAX_LEN + 1, 100)
+    sw = SmithWaterman(lane_multiple=128)
+    assert sw._device_eligible(DEVICE_MAX_LEN, DEVICE_MAX_LEN)
+    assert not sw._device_eligible(DEVICE_MAX_LEN + 1, 100)
 
 
 def test_scalar_batch_threaded_matches_oracle():
