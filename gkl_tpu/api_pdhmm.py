@@ -145,10 +145,16 @@ class PDHMM:
                                      haplen.astype(np.int32),
                                      rslen.astype(np.int32), hap.shape[1])
                 with self.mesh:
-                    if use_pallas and hap.shape[1] % (128 * self.mesh.size) == 0:
+                    mesh_lanes_ok = hap.shape[1] % (128 * self.mesh.size) == 0
+                    if use_pallas and mesh_lanes_ok:
                         # mesh path keeps the Pallas fast path per shard
                         raw = np.asarray(
                             parallel.pdhmm_raw_pallas_sharded(
+                                self.mesh, packed, hap_pd, states)
+                        )
+                    elif use_chunked and mesh_lanes_ok:
+                        raw = np.asarray(
+                            parallel.pdhmm_raw_pallas_chunked_sharded(
                                 self.mesh, packed, hap_pd, states)
                         )
                     else:

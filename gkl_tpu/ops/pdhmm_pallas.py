@@ -691,7 +691,7 @@ def _pdhmm_chunk_call(flags, hap_i, pd_i, st_i, read_c, rbit_c, tmm, tmi, tmd,
 def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
                              haplen, rslen, *, r_chunk: int | None = None,
                              lane_block: int = LANE_BLOCK,
-                             interpret: bool = False):
+                             interpret: bool = False, _chunk_call=None):
     """PDHMM forward for reads beyond the single-kernel VMEM ceiling.
 
     The read axis relays in ``r_chunk``-row chunks: each chunk's kernel
@@ -769,7 +769,8 @@ def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
         sl = slice(r0, r0 + r_chunk)
         first = jnp.full((1, P), 1 if c == 0 else 0, jnp.int32)
         rslen_local = (rslen_i - r0)[None, :]
-        part, bnd = _pdhmm_chunk_call(
+        call = _chunk_call or _pdhmm_chunk_call
+        part, bnd = call(
             flags, hap_i, pd_i, st_i, read_i[sl], rbit[sl], t_mm[sl],
             t_mi[sl], t_md[sl], t_im[sl], t_dd[sl], p_match[sl], p_mis[sl],
             ic, haplen2, rslen_local, first, bnd,

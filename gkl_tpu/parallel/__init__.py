@@ -20,6 +20,7 @@ from .mesh import (
     pairhmm_raw_pallas_sharded,
     pairhmm_raw_pallas_cols_sharded,
     pairhmm_raw_sharded,
+    pdhmm_raw_pallas_chunked_sharded,
     pdhmm_raw_pallas_sharded,
     pdhmm_raw_sharded,
     shard_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "pairhmm_raw_pallas_sharded",
     "pairhmm_raw_pallas_cols_sharded",
     "pairhmm_raw_sharded",
+    "pdhmm_raw_pallas_chunked_sharded",
     "pdhmm_raw_pallas_sharded",
     "pdhmm_raw_sharded",
     "shard_pairs",

@@ -358,3 +358,54 @@ def sw_forward_pallas_relay_sharded(mesh: Mesh, ref, alt, reflen, altlen,
     with mesh:
         return sw_pallas.relay_drive(segment_call, ref_i, N, M, Pn, seg,
                                      h0, f0, lr0)
+
+
+@functools.lru_cache(maxsize=128)
+def _pdhmm_chunk_sharded_fn(mesh: Mesh, lane_block: int, interpret: bool):
+    from ..ops import pdhmm_pallas
+
+    def local(flags, hap, pd, st, read_c, rbit_c, tmm, tmi, tmd, tim, tdd,
+              pmatch, pmis, ic, haplen2, rslen_local, first, *bnd):
+        return pdhmm_pallas._pdhmm_chunk_call(
+            flags, hap, pd, st, read_c, rbit_c, tmm, tmi, tmd, tim, tdd,
+            pmatch, pmis, ic, haplen2, rslen_local, first, list(bnd),
+            lane_block=lane_block, interpret=interpret,
+        )
+
+    lane = P(None, "dp")
+    # flags are per (lane-block, column): block axis shards over dp
+    return jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None),) + (lane,) * 16 + (lane,) * 6,
+        out_specs=(lane, [lane] * 6),
+        check_vma=False,
+    ))
+
+
+def pdhmm_raw_pallas_chunked_sharded(mesh: Mesh, packed, hap_pd, states, *,
+                                     r_chunk: int | None = None,
+                                     lane_block: int = 128,
+                                     interpret: bool = False):
+    """Read-axis-chunked PDHMM under the dp mesh: each shard relays its own
+    chunks; the boundary planes stay device-resident and lane-sharded."""
+    from ..ops import pdhmm_pallas
+
+    # reuse the single-device wrapper's prep by monkey-free delegation: the
+    # wrapper is pure host-side prep + a loop over _pdhmm_chunk_call, so we
+    # substitute the sharded chunk call for the local one
+    fn = _pdhmm_chunk_sharded_fn(mesh, lane_block, interpret)
+
+    def chunk_call(flags, hap_i, pd_i, st_i, read_c, rbit_c, tmm, tmi, tmd,
+                   tim, tdd, pmatch, pmis, ic, haplen2, rslen_local, first,
+                   bnd, **_kw):
+        with mesh:
+            return fn(flags, hap_i, pd_i, st_i, read_c, rbit_c, tmm, tmi,
+                      tmd, tim, tdd, pmatch, pmis, ic, haplen2, rslen_local,
+                      first, *bnd)
+
+    return pdhmm_pallas.pdhmm_raw_pallas_chunked(
+        packed.hap, hap_pd, states, packed.read, packed.q, packed.iq,
+        packed.dq, packed.gcp, packed.haplen, packed.rslen, r_chunk=r_chunk,
+        lane_block=lane_block, interpret=interpret, _chunk_call=chunk_call,
+    )

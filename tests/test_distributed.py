@@ -248,3 +248,25 @@ def test_sw_relay_sharded_bit_parity():
         indel_boundary=False, seg=8, lane_block=8, interpret=True)
     for x, y in zip(got, want):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pdhmm_chunked_sharded_bit_parity():
+    """The read-axis-chunked PDHMM under shard_map must match the unsharded
+    chunked path bit-for-bit (same kernel per shard)."""
+    from gkl_tpu.ops import pdhmm as pdhmm_ops
+    from gkl_tpu.ops import pdhmm_pallas
+
+    mesh = parallel.data_parallel_mesh(8)
+    packed = _packed_batch(8 * 8, H=40, R=24)
+    hap_pd = np.zeros_like(packed.hap)
+    hap_pd[6, ::2] = 2
+    hap_pd[9, ::2] = 4
+    states = pdhmm_ops.column_states(hap_pd)
+    # r_chunk=8 forces multiple relayed chunks on both sides
+    got = np.asarray(parallel.pdhmm_raw_pallas_chunked_sharded(
+        mesh, packed, hap_pd, states, r_chunk=8, lane_block=8, interpret=True))
+    want = np.asarray(pdhmm_pallas.pdhmm_raw_pallas_chunked(
+        packed.hap, hap_pd, states, packed.read, packed.q, packed.iq,
+        packed.dq, packed.gcp, packed.haplen, packed.rslen, r_chunk=8,
+        lane_block=8, interpret=True))
+    np.testing.assert_array_equal(got, want)
