@@ -246,6 +246,21 @@ def bench_sw(on_tpu, quick):
     per = _device_loop_time(loop, args, iters, x64=True)
     _emit("sw_dp_cells_per_sec", N * M * P / per, "cells/s", shape=[N, M, P])
 
+    if on_tpu and not quick:
+        # large assembly-region bucket: the ref-axis-streamed kernel rate
+        # (the 160x160 shape above is read-vs-read realistic; this one is
+        # the long-reference regime the segment relay serves)
+        N2, M2, P2 = 2048, 512, 128
+        ref2 = bases[rng.integers(0, 4, size=(N2, P2))]
+        alt2 = ref2[:M2].copy()
+        mut2 = rng.random((M2, P2)) < 0.05
+        alt2[mut2] = bases[rng.integers(0, 4, size=int(mut2.sum()))]
+        args2 = [jax.device_put(a) for a in (
+            ref2, alt2, np.full(P2, N2, np.int32), np.full(P2, M2, np.int32))]
+        per2 = _device_loop_time(loop, args2, 10, x64=True)
+        _emit("sw_dp_cells_per_sec_large", N2 * M2 * P2 / per2, "cells/s",
+              shape=[N2, M2, P2])
+
 
 def bench_codec(quick):
     from gkl_tpu import compression as comp
