@@ -269,16 +269,19 @@ def bench_codec(quick):
     n = (1 << 20) if quick else (4 << 20)
     data = bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)])
     blocks = [data[i : i + 65280] for i in range(0, len(data), 65280)]
+    # host core count so round-over-round MB/s compares like-for-like (the
+    # batch pools scale with cores; driver hosts vary)
+    cores = os.cpu_count() or 1
     for level in (1, 6):
         t0 = time.perf_counter()
         compressed = comp.deflate_blocks(blocks, level=level)
         dt = time.perf_counter() - t0
         _emit(f"deflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
-              ratio=sum(map(len, compressed)) / n)
+              ratio=sum(map(len, compressed)) / n, cores=cores)
         t0 = time.perf_counter()
         comp.inflate_blocks(compressed)
         dt = time.perf_counter() - t0
-        _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s")
+        _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s", cores=cores)
 
 
 def bench_bam_pipeline(quick):

@@ -63,7 +63,14 @@ class HaplotypeData:
 
 @dataclasses.dataclass
 class PairHMMNativeArguments:
-    """Mirror of PairHMMNativeArguments (pairhmm/IntelPairHmm.java:85-119)."""
+    """Mirror of PairHMMNativeArguments (pairhmm/IntelPairHmm.java:85-119).
+
+    ``max_number_of_threads`` is the reference's OpenMP worker clamp; the
+    TPU-native worker is a dp-mesh shard, so the knob caps how many local
+    devices the engine spans: 1 (default) = single device, 0 = every
+    local device, N = at most N devices.  An explicit ``mesh=`` argument
+    always wins (the caller already chose its topology).
+    """
 
     use_double_precision: bool = False
     max_number_of_threads: int = 1
@@ -87,14 +94,41 @@ class PairHMM:
         self.args = args or PairHMMNativeArguments()
         self._lane_multiple = lane_multiple
         self.mesh = mesh
-        if mesh is not None and lane_multiple is None:
+        if mesh is None:
+            self.mesh = self._mesh_from_thread_cap(self.args)
+        if self.mesh is not None and lane_multiple is None:
             # lanes must split evenly across dp shards, and each shard's
             # local lane count must fill the Pallas kernel's lane block on
             # TPU (the mesh path runs the SAME Pallas kernels per shard)
-            self._lane_multiple = (128 if self._use_pallas(0) else 8) * mesh.size
+            self._lane_multiple = (128 if self._use_pallas(0) else 8) * self.mesh.size
+
+    @staticmethod
+    def _mesh_from_thread_cap(args: PairHMMNativeArguments):
+        """max_number_of_threads → dp-mesh width (the OpenMP thread clamp of
+        IntelPairHmm.cc:88-91 mapped to devices): 0 = all local devices,
+        N = at most N; a 1-device span needs no mesh at all."""
+        cap = args.max_number_of_threads
+        if cap < 0:
+            raise ValueError("maxNumberOfThreads must be >= 0")
+        if cap == 1:
+            return None
+        import jax
+
+        n_dev = len(jax.devices())
+        n = n_dev if cap == 0 else min(cap, n_dev)  # clamp, like the reference
+        if n <= 1:
+            return None
+        from . import parallel
+
+        return parallel.data_parallel_mesh(n)
 
     def initialize(self, args: PairHMMNativeArguments) -> None:
         self.args = args
+        if self.mesh is None:
+            self.mesh = self._mesh_from_thread_cap(args)
+            if self.mesh is not None and self._lane_multiple is None:
+                self._lane_multiple = (
+                    128 if self._use_pallas(0) else 8) * self.mesh.size
 
     def done(self) -> None:  # parity with IntelPairHmm.done()
         pass

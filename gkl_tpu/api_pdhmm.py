@@ -89,12 +89,38 @@ class PDHMM:
                 and __import__("os").environ.get("GKL_TPU_PALLAS") != "0"
             )
             self._lane_multiple = (128 if pallas else 8) * mesh.size
+        self._effective_threads()  # validate the parallel setting eagerly
 
     def initialize(self, args: PDHMMNativeArguments) -> None:
         self.args = args
+        self._effective_threads()  # validate eagerly, like initializeNative
 
     def done(self) -> None:
         pass
+
+    def _effective_threads(self) -> int:
+        """ComputeConfig's OpenMP resolution (pdhmm-implementation.h:96-133)
+        mapped to the native thread pools: DISABLE → 1 worker; ENABLE
+        requires the native pool engine and raises when it is unavailable
+        (the reference throws when OpenMP is requested but absent);
+        otherwise the requested count clamps to the host's cores
+        (0 = FASTEST_AVAILABLE = all cores)."""
+        import os as _os
+
+        setting = self.args.parallel_setting
+        if setting == ParallelSetting.ENABLE:
+            from . import native_lib
+
+            if native_lib.load("gkl_pdhmm_oracle") is None:
+                raise RuntimeError(
+                    "ParallelSetting.ENABLE requires the native thread-pool"
+                    " engine, which failed to load"
+                )
+        if setting == ParallelSetting.DISABLE:
+            return 1
+        cores = _os.cpu_count() or 1
+        req = self.args.max_number_of_threads
+        return cores if req <= 0 else min(req, cores)
 
     @property
     def _dtype(self) -> str:
@@ -136,6 +162,18 @@ class PDHMM:
             and not use_pallas
             and _pp.pdhmm_chunked_fits(hap.shape[0])
         )
+        if self.args.kernel_level == KernelLevel.PALLAS and not (
+            use_pallas or use_chunked
+        ):
+            # forcing semantics mirror the reference's explicit AVX level:
+            # an unsatisfiable request throws instead of silently degrading
+            # (pdhmm-implementation.h:96-133)
+            raise RuntimeError(
+                "KernelLevel.PALLAS requested but the Pallas engine cannot"
+                f" run this batch (dtype={dtype}, tpu="
+                f"{utils.is_tpu_available()}, lanes={hap.shape[1]},"
+                f" hap_bucket={hap.shape[0]}, read_bucket={read.shape[0]})"
+            )
         with scope:
             if self.mesh is not None and dtype == "float32" and boost_row is None:
                 from . import parallel
@@ -226,7 +264,9 @@ class PDHMM:
             from .ops import pdhmm_ref
 
             if native_lib.load("gkl_pdhmm_oracle") is not None:
-                out = pdhmm_ref.pdhmm_scalar_batch(haps, hap_pds, reads, quals)
+                out = pdhmm_ref.pdhmm_scalar_batch(
+                    haps, hap_pds, reads, quals,
+                    threads=self._effective_threads())
                 if profiling.metrics_enabled():
                     cells = sum(len(r) * len(h) for r, h in zip(reads, haps))
                     profiling.METRICS.record(
@@ -312,6 +352,7 @@ class PDHMM:
                     res[ks] = pdhmm_ref.pdhmm_scalar_batch(
                         [haps[i] for i in ids], [hap_pds[i] for i in ids],
                         [reads[i] for i in ids], [quals[i] for i in ids],
+                        threads=self._effective_threads(),
                     )
             out[np.asarray(idxs)] = res
 

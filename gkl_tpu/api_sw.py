@@ -68,12 +68,18 @@ def _as_seq(x) -> np.ndarray:
 
 
 class SmithWaterman:
-    def __init__(self, *, lane_multiple: int | None = None, mesh=None):
+    def __init__(self, *, lane_multiple: int | None = None, mesh=None,
+                 threads: int | None = None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis; the
         score/backtrack DP shards lane-wise across it and each host fetches
-        only its backtrack shard for the CIGAR walk."""
+        only its backtrack shard for the CIGAR walk.  ``threads`` caps the
+        native scalar-aligner pool (default: GKL_TPU_THREADS env or all
+        cores — the reference's OpenMP worker clamp)."""
         self._lane_multiple = lane_multiple
         self.mesh = mesh
+        if threads is not None and threads < 1:
+            raise ValueError("threads must be >= 1")
+        self._threads = threads
         if mesh is not None and lane_multiple is None:
             # per-shard lanes must fill the Pallas lane block on TPU
             self._lane_multiple = (128 if self._use_pallas(8, 8, 128) else 8) * mesh.size
@@ -371,7 +377,9 @@ class SmithWaterman:
         reference's OpenMP-over-pairs analogue); Python fallback is serial."""
         if self._native is None or len(refs) == 1:
             return [self._align_scalar(r, a, p, strategy) for r, a in zip(refs, alts)]
-        import os
+        from . import utils
+
+        pool = self._threads or utils.default_host_threads()
 
         n = len(refs)
         ref_buf = np.concatenate([np.ascontiguousarray(r) for r in refs])
@@ -399,7 +407,7 @@ class SmithWaterman:
             ctypes.c_int(p.gap_extend_penalty), ctypes.c_int(int(strategy)),
             cigars, ctypes.c_int64(stride),
             offsets.ctypes.data_as(i32p), scores.ctypes.data_as(i32p),
-            ctypes.c_int(min(n, os.cpu_count() or 1)),
+            ctypes.c_int(min(n, pool)),
         )
         res = []
         for k in range(n):

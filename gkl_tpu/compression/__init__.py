@@ -300,7 +300,9 @@ def make_inflater(nowrap: bool = True):
 
 
 def _default_threads() -> int:
-    return min(16, os.cpu_count() or 1)
+    from .. import utils
+
+    return utils.default_host_threads()
 
 
 def deflate_blocks(blocks: list[bytes], level: int = 6, nowrap: bool = True, threads: int | None = None) -> list[bytes]:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import context as ctx_mod
+from .. import utils as utils_mod
 
 SNP = 1
 DEL_START = 2
@@ -204,7 +205,7 @@ def pdhmm_scalar_batch(haps, hap_pds, reads, quals, threads=None):
         np.ascontiguousarray(trans).ctypes.data_as(f64p),
         ic.ctypes.data_as(f64p), ctypes.c_int(n),
         out_raw.ctypes.data_as(f64p),
-        ctypes.c_int(threads or os.cpu_count() or 1),
+        ctypes.c_int(threads or utils_mod.default_host_threads()),
     )
     with np.errstate(divide="ignore"):
         return np.log10(out_raw) - float(ctx.INITIAL_CONDITION_LOG10)

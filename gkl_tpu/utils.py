@@ -92,6 +92,19 @@ def available_parallelism() -> int:
     return jax.device_count()
 
 
+def default_host_threads() -> int:
+    """Worker count for the host-side native thread pools (codec, scalar
+    SW, PDHMM oracle).  ``GKL_TPU_THREADS`` overrides; otherwise every
+    core, capped at 16 (pool scaling flattens past that on these stages)."""
+    env = os.environ.get("GKL_TPU_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return min(16, os.cpu_count() or 1)
+
+
 def path_to_test_resource(filename: str, base_dir: str | None = None) -> str:
     """Resolve a test-resource path with filename sanitization.
 

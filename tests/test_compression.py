@@ -201,8 +201,8 @@ def test_fast_deflate_ratio():
     with open(os.path.join(DATA_DIR, "HiSeq.1mb.1RG.2k_lines.bam"), "rb") as fh:
         payload = bgzf.decompress(fh.read())
     for data in (CORPUS, payload):
-        z1 = len(zlib.compressobj(1, zlib.DEFLATED, -zlib.MAX_WBITS).compress(data)
-                 + zlib.compressobj(1, zlib.DEFLATED, -zlib.MAX_WBITS).flush())
+        zo = zlib.compressobj(1, zlib.DEFLATED, -zlib.MAX_WBITS)
+        z1 = len(zo.compress(data) + zo.flush())
         f2 = len(comp.raw_deflate(data, 2, nowrap=True))
         assert f2 <= 1.10 * z1, (f2, z1)
 
