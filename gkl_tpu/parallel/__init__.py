@@ -13,9 +13,14 @@ from .distributed import (
     initialize,
     make_global_array,
     pairhmm_raw_global,
+    pairhmm_scaled_global,
+    pdhmm_raw_global,
+    sw_forward_global,
 )
 from .mesh import (
     data_parallel_mesh,
+    is_multiprocess,
+    replicate_to_host,
     pairhmm_raw_pallas_scaled_sharded,
     pairhmm_raw_pallas_sharded,
     pairhmm_raw_pallas_cols_sharded,
@@ -34,8 +39,13 @@ __all__ = [
     "global_mesh",
     "host_local_slice",
     "initialize",
+    "is_multiprocess",
     "make_global_array",
     "pairhmm_raw_global",
+    "pairhmm_scaled_global",
+    "pdhmm_raw_global",
+    "replicate_to_host",
+    "sw_forward_global",
     "pairhmm_raw_pallas_scaled_sharded",
     "pairhmm_raw_pallas_sharded",
     "pairhmm_raw_pallas_cols_sharded",

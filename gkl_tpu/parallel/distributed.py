@@ -88,29 +88,136 @@ def make_global_array(host_shard: np.ndarray, mesh, axis: int = -1):
     return jax.make_array_from_single_device_arrays(tuple(global_shape), sharding, shards)
 
 
-def pairhmm_raw_global(mesh, packed_local, dtype: str = "float32") -> np.ndarray:
+def _fetch_local(arr, axis: int = 0) -> np.ndarray:
+    """This process's addressable shards of a dp-sharded global array,
+    concatenated in lane order along ``axis``."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+
+
+def _default_lane_block(interpret: bool | None):
+    """Pallas lane block per shard: 128 on TPU (the hardware lane width), 8
+    under CPU interpret (tests / dry runs)."""
+    from .. import utils
+
+    if interpret is None:
+        interpret = not utils.is_tpu_available()
+    return (8 if interpret else 128), interpret
+
+
+def _feed(mesh, packed_local):
+    def ga(a, axis):
+        return make_global_array(np.asarray(a), mesh, axis=axis)
+
+    return (
+        ga(packed_local.hap, -1), ga(packed_local.read, -1),
+        ga(packed_local.q, -1), ga(packed_local.iq, -1),
+        ga(packed_local.dq, -1), ga(packed_local.gcp, -1),
+        ga(packed_local.haplen, 0), ga(packed_local.rslen, 0),
+    )
+
+
+def pairhmm_raw_global(mesh, packed_local, dtype: str = "float32", *,
+                       engine: str = "auto", lane_block: int | None = None,
+                       interpret: bool | None = None) -> np.ndarray:
     """Multi-host SPMD PairHMM forward: every process feeds ITS lane shard,
     the jit runs collectively over the global mesh, and each process gets
     back its own result lanes.
 
     ``packed_local`` is this host's (len, lanes_per_host) PackedPairs block
     (the batch planner runs per host on its slice of the pair list, see
-    ``host_local_slice``).  The kernel is collective-free, so the only
-    cross-host traffic is XLA's program launch coordination — this is the
-    ≥85%-scaling design claim made checkable (tests/test_distributed2.py
-    runs it across two real processes).
+    ``host_local_slice``).  ``engine='pallas'`` runs the Pallas rows kernel
+    per shard — the production path (the reference parallelizes its *fast*
+    kernel, IntelPairHmm.cc:151-153); ``'jnp'`` is the non-TPU fallback;
+    ``'auto'`` picks Pallas whenever the local lane count fills its lane
+    blocks.  The kernels are collective-free, so the only cross-host
+    traffic is XLA's launch coordination — the ≥85%-scaling design claim
+    made checkable (tests/test_distributed2.py runs this across two real
+    processes, asserting per-shard Pallas bit-parity).
     """
+    lb, interp = _default_lane_block(interpret)
+    lane_block = lane_block or lb
+    P_local = packed_local.hap.shape[1]
+    if engine == "auto":
+        engine = ("pallas" if dtype == "float32" and P_local % lane_block == 0
+                  else "jnp")
+    if engine == "pallas":
+        from .mesh import _pairhmm_pallas_sharded_fn
+
+        fn = _pairhmm_pallas_sharded_fn(mesh, "rows", lane_block, interp)
+        with mesh:
+            raw = fn(*_feed(mesh, packed_local))
+        return _fetch_local(raw)
     from .mesh import _pairhmm_raw_jit
+
+    with mesh:
+        raw = _pairhmm_raw_jit(*_feed(mesh, packed_local), dtype)
+    return _fetch_local(raw)
+
+
+def pairhmm_scaled_global(mesh, packed_local, *, lane_block: int | None = None,
+                          interpret: bool | None = None):
+    """Multi-host scaled-f32 PairHMM (mantissa, exp2, flag per lane) — the
+    production pod entry: one pass at unlimited dynamic range, so the
+    float→double rescue (IntelPairHmm.cc:157-165) needs no second device
+    sweep.  Returns this host's (mant, ex, flag) lane slabs."""
+    from .mesh import _pairhmm_pallas_sharded_fn
+
+    lb, interp = _default_lane_block(interpret)
+    fn = _pairhmm_pallas_sharded_fn(mesh, "scaled", lane_block or lb, interp)
+    with mesh:
+        mant, ex, flag = fn(*_feed(mesh, packed_local))
+    return _fetch_local(mant), _fetch_local(ex), _fetch_local(flag)
+
+
+def pdhmm_raw_global(mesh, packed_local, hap_pd_local, states_local, *,
+                     lane_block: int | None = None,
+                     interpret: bool | None = None) -> np.ndarray:
+    """Multi-host Pallas PDHMM forward; every process feeds its lane shard
+    and gets back its own raw forward probabilities."""
+    from .mesh import _pdhmm_pallas_sharded_fn
+
+    lb, interp = _default_lane_block(interpret)
+    fn = _pdhmm_pallas_sharded_fn(mesh, lane_block or lb, interp)
 
     def ga(a, axis):
         return make_global_array(np.asarray(a), mesh, axis=axis)
 
     with mesh:
-        raw = _pairhmm_raw_jit(
-            ga(packed_local.hap, -1), ga(packed_local.read, -1),
+        raw = fn(
+            ga(packed_local.hap, -1), ga(hap_pd_local, -1),
+            ga(states_local, -1), ga(packed_local.read, -1),
             ga(packed_local.q, -1), ga(packed_local.iq, -1),
             ga(packed_local.dq, -1), ga(packed_local.gcp, -1),
-            ga(packed_local.haplen, 0), ga(packed_local.rslen, 0), dtype,
+            ga(packed_local.haplen, 0), ga(packed_local.rslen, 0),
         )
-    shards = sorted(raw.addressable_shards, key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards])
+    return _fetch_local(raw)
+
+
+def sw_forward_global(mesh, ref_local, alt_local, reflen_local, altlen_local,
+                      params, *, indel_boundary: bool = False,
+                      lane_block: int | None = None,
+                      interpret: bool | None = None):
+    """Multi-host Pallas SW score+backtrack DP.  Each host feeds its lane
+    shard and fetches ONLY its own backtrack block — the O(N·M) tensor
+    never crosses hosts; the host-side CIGAR walk runs on local lanes
+    (the multi-host form of api_sw's mesh path)."""
+    from .mesh import _sw_pallas_sharded_fn
+
+    lb, interp = _default_lane_block(interpret)
+    key = (int(params.match_value), int(params.mismatch_penalty),
+           int(params.gap_open_penalty), int(params.gap_extend_penalty))
+    fn = _sw_pallas_sharded_fn(mesh, key, indel_boundary, lane_block or lb,
+                               interp)
+
+    def ga(a, axis, dt=None):
+        a = np.asarray(a) if dt is None else np.asarray(a, dt)
+        return make_global_array(a, mesh, axis=axis)
+
+    with mesh:
+        bt, lastrow, lastcol = fn(
+            ga(ref_local, -1), ga(alt_local, -1),
+            ga(reflen_local, 0, np.int32), ga(altlen_local, 0, np.int32),
+        )
+    return _fetch_local(bt, 0), _fetch_local(lastrow, 1), _fetch_local(lastcol, 0)

@@ -29,6 +29,40 @@ def data_parallel_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("dp",))
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by other processes (a
+    multi-host pod slice): inputs must then be fed per host via
+    ``distributed.make_global_array`` and results gathered collectively."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+@functools.lru_cache(maxsize=8)
+def _replicate_fn(mesh: Mesh):
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+
+def replicate_to_host(arr, mesh: Mesh) -> np.ndarray:
+    """All-gather a dp-sharded global array so every host holds the full
+    value (SURVEY.md §5.8: likelihood vectors are tiny relative to inputs,
+    so the end-of-batch gather is cheap)."""
+    with mesh:
+        return np.asarray(_replicate_fn(mesh)(arr))
+
+
+def _feed_global(mesh: Mesh, full: np.ndarray, axis: int):
+    """Build the global dp-sharded array for ``full`` (the SAME full batch
+    on every host) by feeding only this host's lane slab."""
+    from .distributed import host_local_slice, make_global_array
+
+    full = np.asarray(full)
+    axis = axis % full.ndim
+    sl = host_local_slice(full.shape[axis])
+    idx = [slice(None)] * full.ndim
+    idx[axis] = sl
+    return make_global_array(full[tuple(idx)], mesh, axis=axis)
+
+
 def lane_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (length, lane) arrays: lanes split across ``dp``."""
     return NamedSharding(mesh, P(None, "dp"))
@@ -129,6 +163,18 @@ def _pairhmm_pallas_sharded_fn(mesh: Mesh, kernel: str, lane_block: int,
 
 def _run_pairhmm_sharded(mesh, packed, kernel, lane_block, interpret):
     fn = _pairhmm_pallas_sharded_fn(mesh, kernel, lane_block, interpret)
+    if is_multiprocess(mesh):
+        # multi-host: every host holds the same full batch; each feeds its
+        # lane slab and the (tiny) result replicates back to every host, so
+        # the API contract is identical from one chip to a pod slice
+        args = tuple(_feed_global(mesh, a, -1) for a in (
+            packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+            packed.gcp)) + tuple(_feed_global(mesh, a, 0)
+                                 for a in (packed.haplen, packed.rslen))
+        out = fn(*args)
+        if kernel == "scaled":
+            return tuple(replicate_to_host(o, mesh) for o in out)
+        return replicate_to_host(out, mesh)
     return fn(packed.hap, packed.read, packed.q, packed.iq, packed.dq,
               packed.gcp, packed.haplen, packed.rslen)
 
@@ -176,6 +222,12 @@ def pdhmm_raw_pallas_sharded(mesh: Mesh, packed, hap_pd, states, *,
                              lane_block: int = 128, interpret: bool = False):
     """Pallas PDHMM forward, lane-sharded over the dp mesh."""
     fn = _pdhmm_pallas_sharded_fn(mesh, lane_block, interpret)
+    if is_multiprocess(mesh):
+        args = tuple(_feed_global(mesh, a, -1) for a in (
+            packed.hap, np.asarray(hap_pd), np.asarray(states), packed.read,
+            packed.q, packed.iq, packed.dq, packed.gcp)) + tuple(
+            _feed_global(mesh, a, 0) for a in (packed.haplen, packed.rslen))
+        return replicate_to_host(fn(*args), mesh)
     return fn(packed.hap, np.asarray(hap_pd), np.asarray(states),
               packed.read, packed.q, packed.iq, packed.dq, packed.gcp,
               packed.haplen, packed.rslen)
@@ -226,6 +278,13 @@ def pairhmm_raw_sharded(mesh: Mesh, packed, dtype: str = "float32"):
     sharded inputs execute SPMD with zero collectives until the caller
     gathers the (tiny) result vector.
     """
+    if is_multiprocess(mesh):
+        args = tuple(_feed_global(mesh, a, -1) for a in (
+            packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+            packed.gcp)) + tuple(_feed_global(mesh, a, 0)
+                                 for a in (packed.haplen, packed.rslen))
+        with mesh:
+            return replicate_to_host(_pairhmm_raw_jit(*args, dtype), mesh)
     sharded = shard_pairs(mesh, packed)
     return _pairhmm_raw_jit(
         sharded.hap,

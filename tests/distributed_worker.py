@@ -57,12 +57,83 @@ def main():
         haplen[sl], rslen[sl], sl.stop - sl.start,
     )
     mesh = parallel.global_mesh()
-    mine = parallel.pairhmm_raw_global(mesh, local)
+    mine = parallel.pairhmm_raw_global(mesh, local, engine="jnp")
 
     ref = np.asarray(pairhmm_raw(hap, read, q, iq, dq, gcp, haplen, rslen,
                                  dtype="float32"))[sl]
     print("RESULT", json.dumps([float(v) for v in mine]))
     print("REF", json.dumps([float(v) for v in ref]))
+
+    # --- the production path: Pallas kernels per shard across processes
+    # (interpret mode on CPU; bit-parity vs the same kernel run unsharded —
+    # the fast kernel is what gets parallelized, IntelPairHmm.cc:151-153)
+    from gkl_tpu.ops import pairhmm_pallas
+
+    mant_l, ex_l, flag_l = parallel.pairhmm_scaled_global(
+        mesh, local, lane_block=8, interpret=True)
+    mant_r, ex_r, flag_r = (
+        np.asarray(a)[sl] for a in pairhmm_pallas.pairhmm_raw_pallas_scaled(
+            hap, read, q, iq, dq, gcp, haplen, rslen, lane_block=8,
+            interpret=True))
+    assert np.array_equal(mant_l, mant_r), "scaled mant mismatch"
+    assert np.array_equal(ex_l, ex_r), "scaled exp mismatch"
+    assert np.array_equal(flag_l, flag_r), "scaled flag mismatch"
+    print("SCALED_BITPARITY ok")
+
+    rows_l = parallel.pairhmm_raw_global(mesh, local, engine="pallas",
+                                         lane_block=8, interpret=True)
+    rows_r = np.asarray(pairhmm_pallas.pairhmm_raw_pallas(
+        hap, read, q, iq, dq, gcp, haplen, rslen, lane_block=8,
+        interpret=True))[sl]
+    assert np.array_equal(rows_l, rows_r), "rows kernel mismatch"
+    print("ROWS_BITPARITY ok")
+
+    from gkl_tpu.ops import pdhmm as pdhmm_ops
+    from gkl_tpu.ops import pdhmm_pallas
+
+    hap_pd = np.zeros_like(hap)
+    hap_pd[4, ::2] = 2  # DEL_START
+    hap_pd[7, ::2] = 4  # DEL_END
+    states = pdhmm_ops.column_states(hap_pd)
+    pd_l = parallel.pdhmm_raw_global(mesh, local, hap_pd[:, sl],
+                                     states[:, sl], lane_block=8,
+                                     interpret=True)
+    pd_r = np.asarray(pdhmm_pallas.pdhmm_raw_pallas(
+        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+        lane_block=8, interpret=True))[sl]
+    assert np.array_equal(pd_l, pd_r), "pdhmm mismatch"
+    print("PDHMM_BITPARITY ok")
+
+    from gkl_tpu.api_sw import SWParameters
+    from gkl_tpu.ops import sw_pallas
+
+    params = SWParameters(200, -150, -260, -11)
+    bt_l, lr_l, lc_l = parallel.sw_forward_global(
+        mesh, hap[:, sl], read[:, sl], haplen[sl], rslen[sl], params,
+        lane_block=8, interpret=True)
+    bt_r, lr_r, lc_r = sw_pallas.sw_forward_pallas(
+        hap, read, haplen, rslen, 200, -150, -260, -11,
+        indel_boundary=False, lane_block=8, interpret=True)
+    assert np.array_equal(bt_l, np.asarray(bt_r)[sl]), "sw bt mismatch"
+    assert np.array_equal(lr_l, np.asarray(lr_r)[:, sl]), "sw lastrow mismatch"
+    assert np.array_equal(lc_l, np.asarray(lc_r)[sl]), "sw lastcol mismatch"
+    print("SW_BITPARITY ok")
+
+    # API-level: PairHMM(mesh=global_mesh) — the full engine (packing +
+    # scaled kernel path or jnp fallback + rescue) transparently multi-host
+    from gkl_tpu import HaplotypeData, PairHMM, ReadData
+
+    rng2 = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    reads = [ReadData(bases[rng2.integers(0, 4, 20)],
+                      np.full(20, 30, np.uint8), np.full(20, 45, np.uint8),
+                      np.full(20, 45, np.uint8), np.full(20, 10, np.uint8))
+             for _ in range(4)]
+    hps = [HaplotypeData(bases[rng2.integers(0, 4, 32)]) for _ in range(2)]
+    api_global = PairHMM(mesh=mesh).compute_likelihoods(reads, hps)
+    api_local = PairHMM().compute_likelihoods(reads, hps)
+    np.testing.assert_allclose(api_global, api_local, rtol=0, atol=5e-5)
+    print("API_GLOBAL ok")
     sys.stdout.flush()
 
 

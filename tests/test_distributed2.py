@@ -60,3 +60,9 @@ def test_two_process_pairhmm_global():
                 ref = np.array(json.loads(line[4:]))
         assert got is not None and ref is not None, out
         np.testing.assert_allclose(got, ref, rtol=1e-6)
+        # the production path: Pallas kernels ran per shard across the two
+        # processes with bit-parity (worker asserts, markers prove it ran)
+        for marker in ("SCALED_BITPARITY ok", "ROWS_BITPARITY ok",
+                       "PDHMM_BITPARITY ok", "SW_BITPARITY ok",
+                       "API_GLOBAL ok"):
+            assert marker in out, (marker, out)
