@@ -19,12 +19,22 @@
 
 extern "C" int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out,
                                     int cap, int level);
+extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
+                                int out_cap);
 
 namespace {
 
 bool fast_deflate_enabled() {
   static const bool v = [] {
     const char* e = std::getenv("GKL_TPU_FAST_DEFLATE");
+    return e == nullptr || e[0] != '0';
+  }();
+  return v;
+}
+
+bool fast_inflate_enabled() {
+  static const bool v = [] {
+    const char* e = std::getenv("GKL_TPU_FAST_INFLATE");
     return e == nullptr || e[0] != '0';
   }();
   return v;
@@ -60,6 +70,15 @@ int do_deflate(const uint8_t* in, int in_len, uint8_t* out, int out_cap,
 
 int do_inflate(const uint8_t* in, int in_len, uint8_t* out, int out_cap,
                int nowrap) {
+  // Raw streams (the BGZF hot path) go through the table-driven fast
+  // decoder (inflate_fast.cc) — the reference's inflate is ISA-L-only
+  // (IntelInflater.cc).  Errors (malformed input OR undersized out_cap)
+  // fall back to zlib so failure semantics stay zlib-compatible;
+  // GKL_TPU_FAST_INFLATE=0 disables.
+  if (nowrap && in != nullptr && fast_inflate_enabled()) {
+    int r = gkl_fast_inflate(in, in_len, out, out_cap);
+    if (r >= 0) return r;
+  }
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
   int window = nowrap ? -MAX_WBITS : MAX_WBITS;

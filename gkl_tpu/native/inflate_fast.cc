@@ -1,0 +1,521 @@
+// Fast one-shot raw-DEFLATE decoder for the BAM-read direction.
+//
+// The reference's Inflater is ISA-L-only (compression/IntelInflater.cc) —
+// inflate is the hot codec direction for the HaplotypeCaller flow (BGZF
+// blocks are read far more often than written).  This is an original
+// table-driven decoder tuned for that shape: whole raw-DEFLATE streams of
+// <= 64 KiB (BGZF blocks) decoded in one shot.
+//
+// Design:
+//  * 64-bit bit accumulator refilled 8 bytes at a time (branchless
+//    whole-byte refill; byte-at-a-time fallback near the input tail with
+//    bounded zero padding, so no overread is possible);
+//  * two-level canonical Huffman tables: a root table indexed by the low
+//    ROOT bits of the accumulator (DEFLATE codes are stored MSB-first in
+//    LSB-first bytes, so table indices are bit-reversed codes) with
+//    appended sub-tables for codes longer than ROOT;
+//  * software-pipelined hot loop: the next symbol's table load issues
+//    before the current match copy / literal store so L1 latency hides
+//    under it; one refill covers a full length+distance pair (<= 48 bits);
+//  * root-level literal PAIRS: two short literal codes fused into one
+//    table entry (genomic alphabets give 2-4-bit literal codes);
+//  * match copies run in 16/8-byte chunks (overlap-safe by distance
+//    class; short periods seed once then double the window).
+//
+// Contract: gkl_fast_inflate(in, n, out, out_cap) returns bytes written,
+// -1 on malformed input or insufficient out_cap (the caller falls back to
+// zlib, which is the error-compatibility oracle).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// entry: bits(31..24) | type(17..16) | extra(23..18) | val(15..0)
+// type: 0 literal (val = byte), 1 len/dist value (val = base, extra bits
+// count in 'extra'), 2 end-of-block, 3 sub-table link (val = offset from
+// table start, extra = sub index bits)
+using Entry = uint32_t;
+
+inline Entry make_entry(unsigned bits, unsigned type, unsigned extra,
+                        unsigned val) {
+  return (bits << 24) | (extra << 18) | (type << 16) | val;
+}
+inline unsigned e_bits(Entry e) { return e >> 24; }
+inline unsigned e_type(Entry e) { return (e >> 16) & 3u; }
+inline unsigned e_extra(Entry e) { return (e >> 18) & 63u; }
+inline unsigned e_val(Entry e) { return e & 0xFFFFu; }
+
+constexpr Entry kInvalid = 0;  // bits == 0 marks an unreachable index
+
+constexpr int kRootLit = 11;
+constexpr int kRootDist = 10;
+// zlib's ENOUGH analysis bounds two-level tables at 852 (root 9) / 592
+// (root 6) entries; these capacities are comfortably past the equivalents
+// for root 10 / 8.
+constexpr int kMaxRoot = 12;  // build_table scratch sizing bound
+constexpr int kLitCap = (1 << kRootLit) + 1024;
+constexpr int kDistCap = (1 << kRootDist) + 768;
+
+const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
+                               15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                               67, 83, 99, 115, 131, 163, 195, 227, 258};
+const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+const uint16_t kDistBase[30] = {1,    2,    3,    4,    5,    7,    9,
+                                13,   17,   25,   33,   49,   65,   97,
+                                129,  193,  257,  385,  513,  769,  1025,
+                                1537, 2049, 3073, 4097, 6145, 8193, 12289,
+                                16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2,  2,  3,  3,  4,  4,  5,
+                                5, 6, 6, 7, 7, 8, 8,  9,  9,  10, 10, 11, 11,
+                                12, 12, 13, 13};
+const uint8_t kClPerm[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                             11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+inline uint32_t bitrev(uint32_t code, int len) {
+  uint32_t r = 0;
+  for (int i = 0; i < len; ++i) {
+    r = (r << 1) | (code & 1);
+    code >>= 1;
+  }
+  return r;
+}
+
+enum TableKind { kKindCl, kKindLitLen, kKindDist };
+
+// Build a two-level decode table from canonical code lengths.  Returns the
+// total entry count used, or -1 for an oversubscribed (invalid) code.
+// Incomplete codes leave unreachable indices as kInvalid (errors at decode
+// time), matching the spec's tolerance for e.g. single-distance streams.
+int build_table(const uint8_t* lens, int nsym, int root, Entry* table,
+                int cap, TableKind kind) {
+  int count[16] = {0};
+  for (int s = 0; s < nsym; ++s) count[lens[s]]++;
+  if (count[0] == nsym) {
+    // no codes at all: legal for distances (literal-only stream) — any
+    // match decode then hits kInvalid
+    if (kind != kKindDist) return -1;
+    for (int i = 0; i < (1 << root); ++i) table[i] = kInvalid;
+    return 1 << root;
+  }
+  // canonical first codes + oversubscription check
+  int code = 0, left = 1;
+  int first[16] = {0};
+  for (int l = 1; l <= 15; ++l) {
+    left <<= 1;
+    left -= count[l];
+    if (left < 0) return -1;
+    first[l] = code;
+    code = (code + count[l]) << 1;
+  }
+  int root_size = 1 << root;
+  for (int i = 0; i < root_size; ++i) table[i] = kInvalid;
+
+  // per-root-slot max length for sub-table sizing
+  uint8_t slot_max[1 << kMaxRoot] = {0};
+  int next_code[16];
+  std::memcpy(next_code, first, sizeof(first));
+  bool has_long = false;
+  for (int s = 0; s < nsym; ++s) {
+    int l = lens[s];
+    if (l == 0 || l <= root) {
+      if (l) next_code[l]++;
+      continue;
+    }
+    has_long = true;
+    uint32_t rc = bitrev((uint32_t)next_code[l]++, l);
+    int slot = (int)(rc & (uint32_t)(root_size - 1));
+    if (l - root > slot_max[slot]) slot_max[slot] = (uint8_t)(l - root);
+  }
+  int next_free = root_size;
+  int sub_off[1 << kMaxRoot];
+  if (has_long) {
+    for (int i = 0; i < root_size; ++i) {
+      if (!slot_max[i]) continue;
+      int size = 1 << slot_max[i];
+      if (next_free + size > cap) return -1;
+      sub_off[i] = next_free;
+      table[i] = make_entry(0, 3, slot_max[i], (unsigned)next_free);
+      for (int k = 0; k < size; ++k) table[next_free + k] = kInvalid;
+      next_free += size;
+    }
+  }
+
+  std::memcpy(next_code, first, sizeof(first));
+  for (int s = 0; s < nsym; ++s) {
+    int l = lens[s];
+    if (l == 0) continue;
+    uint32_t rc = bitrev((uint32_t)next_code[l]++, l);
+    Entry e;
+    if (kind == kKindCl) {
+      e = make_entry(l, 0, 0, (unsigned)s);
+    } else if (kind == kKindLitLen) {
+      if (s < 256) e = make_entry(l, 0, 1, (unsigned)s);
+      else if (s == 256) e = make_entry(l, 2, 0, 0);
+      else if (s <= 285) e = make_entry(l, 1, kLenExtra[s - 257], kLenBase[s - 257]);
+      else continue;  // 286/287: reserved, never valid to decode
+    } else {
+      if (s < 30) e = make_entry(l, 1, kDistExtra[s], kDistBase[s]);
+      else continue;  // 30/31 reserved
+    }
+    if (l <= root) {
+      int step = 1 << l;
+      for (int i = (int)rc; i < root_size; i += step) table[i] = e;
+    } else {
+      int slot = (int)(rc & (uint32_t)(root_size - 1));
+      int sub_bits = slot_max[slot];
+      int idx = sub_off[slot] + (int)(rc >> root);
+      int step = 1 << (l - root);
+      int size = 1 << sub_bits;
+      for (int i = (int)(rc >> root); i < size; i += step)
+        table[sub_off[slot] + i] = e;
+      (void)idx;
+    }
+  }
+  // literal-pair fusion (litlen only): when a root entry is a literal and
+  // the following code is another literal fully contained in the remaining
+  // root bits, fuse both into one entry (extra = 2, val = b1 | b2 << 8).
+  // Short genomic alphabets give 2-4-bit literal codes, so most literal
+  // lookups then emit two bytes per table load.
+  if (kind == kKindLitLen) {
+    for (int i = 0; i < root_size; ++i) {
+      Entry e1 = table[i];
+      if (e_bits(e1) == 0 || e_type(e1) != 0 || e_extra(e1) != 1) continue;
+      unsigned l1 = e_bits(e1);
+      Entry e2 = table[i >> l1];
+      if (e_bits(e2) == 0 || e_type(e2) != 0 || e_extra(e2) != 1) continue;
+      unsigned l2 = e_bits(e2);
+      if (l1 + l2 > (unsigned)root) continue;
+      table[i] = make_entry(l1 + l2, 0, 2,
+                            e_val(e1) | (e_val(e2) << 8));
+    }
+  }
+  return next_free;
+}
+
+struct BitReader {
+  const uint8_t* in;
+  int n;
+  int pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  int pad = 0;  // virtual zero bytes appended past the input tail
+
+  inline void refill() {
+    if (nbits >= 56) return;
+    if (pos + 8 <= n) {
+      uint64_t w;
+      std::memcpy(&w, in + pos, 8);
+      acc |= w << nbits;
+      pos += (63 - nbits) >> 3;
+      nbits |= 56;
+      return;
+    }
+    while (nbits <= 56) {
+      if (pos < n) {
+        acc |= (uint64_t)in[pos++] << nbits;
+      } else {
+        ++pad;  // zero padding; bounded by the caller's pad check
+      }
+      nbits += 8;
+    }
+  }
+
+  inline uint32_t get(int k) {
+    uint32_t v = (uint32_t)(acc & ((k ? (1ull << k) : 1ull) - 1ull));
+    acc >>= k;
+    nbits -= k;
+    return v;
+  }
+
+  inline void drop(int k) {
+    acc >>= k;
+    nbits -= k;
+  }
+};
+
+struct Tables {
+  Entry lit[kLitCap];
+  Entry dist[kDistCap];
+};
+
+// static (btype==1) tables, built once
+struct StaticTables {
+  Tables t;
+  bool ok;
+  StaticTables() {
+    uint8_t lens[288];
+    for (int i = 0; i < 144; ++i) lens[i] = 8;
+    for (int i = 144; i < 256; ++i) lens[i] = 9;
+    for (int i = 256; i < 280; ++i) lens[i] = 7;
+    for (int i = 280; i < 288; ++i) lens[i] = 8;
+    ok = build_table(lens, 288, kRootLit, t.lit, kLitCap, kKindLitLen) > 0;
+    uint8_t dl[32];
+    for (int i = 0; i < 32; ++i) dl[i] = 5;
+    ok = ok && build_table(dl, 32, kRootDist, t.dist, kDistCap, kKindDist) > 0;
+  }
+};
+
+inline int decode_sym(BitReader& br, const Entry* table, int root,
+                      Entry* out_e) {
+  Entry e = table[br.acc & ((1u << root) - 1u)];
+  if (e_type(e) == 3) {
+    unsigned sub_bits = e_extra(e);
+    e = table[e_val(e) + ((br.acc >> root) & ((1u << sub_bits) - 1u))];
+  }
+  unsigned bits = e_bits(e);
+  if (bits == 0) return -1;
+  br.drop((int)bits);
+  *out_e = e;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
+                                int out_cap) {
+  static const StaticTables kStatic;
+  if (n <= 0 || !kStatic.ok) return -1;
+  BitReader br;
+  br.in = in;
+  br.n = n;
+  Tables dyn;
+  int op = 0;
+
+  for (;;) {
+    br.refill();
+    if (br.pad > 8) return -1;  // truncated stream
+    uint32_t bfinal = br.get(1);
+    uint32_t btype = br.get(2);
+    if (btype == 0) {
+      // stored block: align, LEN/NLEN, bulk copy
+      br.drop(br.nbits & 7);
+      if (br.pad) return -1;
+      br.refill();
+      uint32_t len = br.get(16);
+      uint32_t nlen = br.get(16);
+      if ((len ^ nlen) != 0xFFFFu) return -1;
+      if (op + (int)len > out_cap) return -1;
+      // drain bytes still in the accumulator, then memcpy the rest
+      while (len && br.nbits >= 8) {
+        out[op++] = (uint8_t)(br.acc & 0xFF);
+        br.drop(8);
+        --len;
+      }
+      if (br.pad) return -1;
+      if (len) {
+        if (br.pos + (int)len > n) return -1;
+        std::memcpy(out + op, in + br.pos, len);
+        br.pos += (int)len;
+        op += (int)len;
+      }
+      // the bulk copy advanced pos past bytes whose stale images still sit
+      // in the accumulator's unaccounted top bits — clear them so the next
+      // refill's OR sees zeros there
+      br.acc &= br.nbits ? ((1ull << br.nbits) - 1ull) : 0ull;
+    } else if (btype == 3) {
+      return -1;
+    } else {
+      const Entry* lit_t;
+      const Entry* dist_t;
+      if (btype == 1) {
+        lit_t = kStatic.t.lit;
+        dist_t = kStatic.t.dist;
+      } else {
+        // dynamic header
+        br.refill();
+        int hlit = (int)br.get(5) + 257;
+        int hdist = (int)br.get(5) + 1;
+        int hclen = (int)br.get(4) + 4;
+        uint8_t cl_lens[19] = {0};
+        for (int i = 0; i < hclen; ++i) {
+          if (br.nbits < 3) br.refill();
+          cl_lens[kClPerm[i]] = (uint8_t)br.get(3);
+        }
+        Entry cl_table[1 << 7];
+        if (build_table(cl_lens, 19, 7, cl_table, 1 << 7, kKindCl) < 0)
+          return -1;
+        uint8_t lens[288 + 32] = {0};
+        int total = hlit + hdist;
+        int i = 0;
+        while (i < total) {
+          br.refill();
+          if (br.pad > 8) return -1;
+          Entry e;
+          if (decode_sym(br, cl_table, 7, &e)) return -1;
+          unsigned sym = e_val(e);
+          if (sym < 16) {
+            lens[i++] = (uint8_t)sym;
+          } else if (sym == 16) {
+            if (i == 0) return -1;
+            int rep = 3 + (int)br.get(2);
+            if (i + rep > total) return -1;
+            uint8_t prev = lens[i - 1];
+            while (rep--) lens[i++] = prev;
+          } else if (sym == 17) {
+            int rep = 3 + (int)br.get(3);
+            if (i + rep > total) return -1;
+            i += rep;  // already zero
+          } else {
+            int rep = 11 + (int)br.get(7);
+            if (i + rep > total) return -1;
+            i += rep;
+          }
+        }
+        if (lens[256] == 0) return -1;  // no end-of-block code
+        if (build_table(lens, hlit, kRootLit, dyn.lit, kLitCap,
+                        kKindLitLen) < 0)
+          return -1;
+        if (build_table(lens + hlit, hdist, kRootDist, dyn.dist, kDistCap,
+                        kKindDist) < 0)
+          return -1;
+        lit_t = dyn.lit;
+        dist_t = dyn.dist;
+      }
+
+      // ---- fast decode loop: register-resident bit state, one refill
+      // covers a full length+distance pair (<= 48 bits) or three
+      // literals; bounds checks hoisted to loop entry (out keeps a
+      // 258+16-byte margin so match copies run unchecked in 16-byte
+      // chunks; in keeps an 8-byte margin so refills never pad)
+      {
+        uint64_t acc = br.acc;
+        int nbits = br.nbits;
+        int pos = br.pos;
+        const int in_fast = n - 8;
+        const int out_fast = out_cap - 258 - 16;
+        const uint32_t lmask = (1u << kRootLit) - 1u;
+        const uint32_t dmask = (1u << kRootDist) - 1u;
+        int eob = 0;
+        // software-pipelined: `e` always holds the NEXT litlen entry, whose
+        // table load was issued before the previous symbol's copy/write so
+        // the L1 latency hides under it (the classic fast-inflate shape)
+#define GKL_REFILL()                                                        \
+  do {                                                                      \
+    if (nbits < 48) {                                                       \
+      uint64_t w_;                                                          \
+      std::memcpy(&w_, in + pos, 8);                                        \
+      acc |= w_ << nbits;                                                   \
+      pos += (63 - nbits) >> 3;                                             \
+      nbits |= 56;                                                          \
+    }                                                                       \
+  } while (0)
+        GKL_REFILL();
+        Entry e = lit_t[acc & lmask];
+        while (pos <= in_fast && op <= out_fast) {
+          if (__builtin_expect(e_type(e) == 3, 0))
+            e = lit_t[e_val(e) + ((acc >> kRootLit) & ((1u << e_extra(e)) - 1u))];
+          unsigned bits = e_bits(e);
+          if (bits == 0) { br.acc = acc; return -1; }
+          acc >>= bits;
+          nbits -= (int)bits;
+          unsigned t = e_type(e);
+          if (t == 0) {
+            unsigned v = e_val(e);
+            unsigned cnt = e_extra(e);  // 1, or 2 for a fused literal pair
+            if (nbits < 15) GKL_REFILL();
+            e = lit_t[acc & lmask];  // next lookup in flight
+            out[op] = (uint8_t)v;    // unconditional pair store; margin
+            out[op + 1] = (uint8_t)(v >> 8);  // covers the dead byte
+            op += (int)cnt;
+            continue;
+          }
+          if (t == 2) { eob = 1; break; }
+          // the literal fast path only maintains a 15-bit budget; a match
+          // still needs <= 33 more (len extra + dist code + dist extra)
+          GKL_REFILL();
+          // length + distance from one refill window.  Extras come from a
+          // SAVED copy of the accumulator so the live acc sees one fused
+          // code+extra shift (no dependent chain).
+          unsigned ex = e_extra(e);
+          uint64_t saved = acc;
+          acc >>= ex;
+          nbits -= (int)ex;
+          int len = (int)e_val(e) + (int)(saved & ((1u << ex) - 1u));
+          Entry de = dist_t[acc & dmask];
+          if (__builtin_expect(e_type(de) == 3, 0))
+            de = dist_t[e_val(de) +
+                        ((acc >> kRootDist) & ((1u << e_extra(de)) - 1u))];
+          bits = e_bits(de);
+          if (bits == 0 || e_type(de) != 1) return -1;
+          ex = e_extra(de);
+          saved = acc >> bits;
+          acc >>= bits + ex;
+          nbits -= (int)(bits + ex);
+          int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
+          if (__builtin_expect(dist > op, 0)) return -1;
+          GKL_REFILL();
+          e = lit_t[acc & lmask];  // next symbol's load rides the copy
+          uint8_t* dst = out + op;
+          const uint8_t* src = dst - dist;
+          op += len;
+          if (dist >= 16) {
+            do {
+              std::memcpy(dst, src, 16);
+              dst += 16;
+              src += 16;
+              len -= 16;
+            } while (len > 0);
+          } else if (dist >= 8) {
+            do {
+              std::memcpy(dst, src, 8);
+              dst += 8;
+              src += 8;
+              len -= 8;
+            } while (len > 0);
+          } else {
+            // short period: seed one period, then double the window
+            for (int k = 0; k < dist; ++k) dst[k] = src[k];
+            int have = dist;
+            while (have < len) {
+              int c = have < len - have ? have : len - have;
+              std::memcpy(dst + have, dst, (size_t)c);
+              have += c;
+            }
+          }
+        }
+#undef GKL_REFILL
+        br.acc = acc;
+        br.nbits = nbits;
+        br.pos = pos;
+        if (eob) goto block_done;
+      }
+
+      // ---- careful tail loop (input or output margin exhausted)
+      for (;;) {
+        br.refill();
+        if (br.pad > 8) return -1;
+        Entry e;
+        if (decode_sym(br, lit_t, kRootLit, &e)) return -1;
+        unsigned t = e_type(e);
+        if (t == 0) {
+          unsigned v = e_val(e);
+          for (unsigned k = 0; k < e_extra(e); ++k) {
+            if (op >= out_cap) return -1;
+            out[op++] = (uint8_t)(v >> (8 * k));
+          }
+          continue;
+        }
+        if (t == 2) break;  // end of block
+        int len = (int)e_val(e) + (int)br.get((int)e_extra(e));
+        br.refill();
+        Entry de;
+        if (decode_sym(br, dist_t, kRootDist, &de)) return -1;
+        if (e_type(de) != 1) return -1;
+        int dist = (int)e_val(de) + (int)br.get((int)e_extra(de));
+        if (dist > op) return -1;  // before start of output
+        if (op + len > out_cap) return -1;
+        uint8_t* dst = out + op;
+        const uint8_t* src = dst - dist;
+        for (int k = 0; k < len; ++k) dst[k] = src[k];
+        op += len;
+      }
+    block_done:;
+    }
+    if (bfinal) break;
+  }
+  // consumed bits must not extend past the real input
+  if (br.pad * 8 > br.nbits) return -1;
+  return op;
+}

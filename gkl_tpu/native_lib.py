@@ -25,7 +25,7 @@ _ALLOWED = ("gkl_sw_runtime", "gkl_codec", "gkl_bam", "gkl_pdhmm_oracle")
 
 _SRC = {
     "gkl_sw_runtime": ["sw_runtime.cc"],
-    "gkl_codec": ["codec.cc", "deflate_fast.cc"],
+    "gkl_codec": ["codec.cc", "deflate_fast.cc", "inflate_fast.cc"],
     "gkl_bam": ["bam_scan.cc"],
     "gkl_pdhmm_oracle": ["pdhmm_oracle.cc"],
 }
@@ -87,7 +87,10 @@ def load(name: str) -> ctypes.CDLL | None:
         try:
             if _needs_rebuild(so_path, sources):
                 cmd = (
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", so_path]
+                    # -march=native is safe: the library compiles on the
+                    # deployment host at first use (no prebuilt binaries)
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", "-o", so_path]
                     + [os.path.join(_native_dir(), s) for s in sources]
                     + _LINK[name]
                 )

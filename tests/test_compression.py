@@ -221,3 +221,28 @@ def test_inflater_undersized_buffer_keeps_remainder():
         n = i.inflate(buf)
         out += buf[:n]
     assert bytes(out) == data
+
+
+def test_fast_inflate_stream_shapes():
+    """The native fast inflate (inflate_fast.cc, the ISA-L-inflate analogue,
+    IntelInflater.cc) must round-trip every DEFLATE block shape the spec
+    allows: stored blocks (level 0, incl. the zero-length final block),
+    fixed-Huffman (tiny streams), deep dynamic tables, >32 KB distances,
+    and short-period RLE matches."""
+    rng = np.random.default_rng(7)
+    cases = []
+    # stored blocks, incl. empty payload
+    cases += [b"", b"x", bytes(rng.integers(0, 256, 70000, dtype=np.uint8))]
+    # fixed-Huffman territory: tiny low-entropy inputs
+    cases += [b"AAAA", b"ACGTACGTACGT" * 3]
+    # short-period runs (dist 1..7 copy paths)
+    for period in (1, 2, 3, 5, 7):
+        cases.append(bytes(range(period)) * 4000)
+    # long-range matches: repeat a 40 KB chunk so distances exceed 32 KB
+    chunk = bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 40000)])
+    cases.append(chunk + b"\x00" * 100 + chunk)
+    for data in cases:
+        for level in (0, 1, 6, 9):
+            zo = zlib.compressobj(level, zlib.DEFLATED, -zlib.MAX_WBITS)
+            stream = zo.compress(data) + zo.flush()
+            assert comp.raw_inflate(stream, nowrap=True) == data, (len(data), level)
