@@ -160,10 +160,19 @@ class PairHMM:
                 return self._raw_batch_impl(packed, dtype)
         return self._raw_batch_impl(packed, dtype)
 
+    # Probed on v5e (scripts/probe_cols_relay.py): the streamed-hap cols
+    # kernel compiles and matches the jnp engine at H=32768 and R=512 (any
+    # H — the hap axis pages through a sequential grid dimension); R=1024
+    # exceeds VMEM (13 (R,128) f32 tiles x ~3x multi-buffering).
+    COLS_MAX_READ = 512
+
     @classmethod
     def _cols_kernel_fits(cls, H: int, R: int) -> bool:
-        """Column-sweep VMEM budget: hap bytes + (R, 128) input/state tiles."""
-        return H <= 8192 and (H + 16 * R) <= 20000
+        """Streamed-hap column kernel: VMEM holds only (R, 128) tiles; the
+        haplotype axis streams in chunks, so any H runs at full speed
+        (the reference's stripes cover any length the same way,
+        avx-pairhmm-template.h:291-323)."""
+        return R <= cls.COLS_MAX_READ
 
     def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
         H, R = packed.hap.shape[0], packed.read.shape[0]
@@ -230,6 +239,35 @@ class PairHMM:
         )
         return np.asarray(raw)[: packed.n_real]
 
+    def _forward_scaled_dispatch(self, packed: batch_mod.PackedPairs):
+        """Dispatch the scaled kernel WITHOUT fetching (JAX async dispatch:
+        the returned device arrays are futures).  None when the fast path
+        does not apply."""
+        H, R = packed.hap.shape[0], packed.read.shape[0]
+        if not (self._use_pallas(H) and R % 8 == 0):
+            return None
+        if self.mesh is not None:
+            if packed.hap.shape[1] % (128 * self.mesh.size):
+                return None
+            from . import parallel
+
+            with self.mesh:
+                handles = parallel.pairhmm_raw_pallas_scaled_sharded(
+                    self.mesh, packed
+                )
+        else:
+            from .ops import pairhmm_pallas
+
+            handles = pairhmm_pallas.pairhmm_raw_pallas_scaled(
+                packed.hap, packed.read, packed.q, packed.iq, packed.dq,
+                packed.gcp, packed.haplen, packed.rslen, lane_block=128,
+            )
+        for a in handles:
+            start = getattr(a, "copy_to_host_async", None)
+            if start is not None:
+                start()
+        return handles
+
     def _forward_scaled(self, packed: batch_mod.PackedPairs):
         """One-pass f32 forward via the scaled kernel.
 
@@ -243,27 +281,17 @@ class PairHMM:
         reference-exact host f64 recompute; GKL_TPU_EXACT_RESCUE=1 forces
         all underflowed lanes onto that path.
         """
+        handles = self._forward_scaled_dispatch(packed)
+        if handles is None:
+            return None
+        return self._forward_scaled_finalize(packed, handles)
+
+    def _forward_scaled_finalize(self, packed, handles):
+        """Materialise a dispatched scaled forward: fetch, reconstruct the
+        f32 raw value, and classify lanes for the host-f64 rescue."""
         import os
 
-        H, R = packed.hap.shape[0], packed.read.shape[0]
-        if not (self._use_pallas(H) and R % 8 == 0):
-            return None
-        if self.mesh is not None:
-            if packed.hap.shape[1] % (128 * self.mesh.size):
-                return None
-            from . import parallel
-
-            with self.mesh:
-                mant, ex, flag = parallel.pairhmm_raw_pallas_scaled_sharded(
-                    self.mesh, packed
-                )
-        else:
-            from .ops import pairhmm_pallas
-
-            mant, ex, flag = pairhmm_pallas.pairhmm_raw_pallas_scaled(
-                packed.hap, packed.read, packed.q, packed.iq, packed.dq,
-                packed.gcp, packed.haplen, packed.rslen, lane_block=128,
-            )
+        mant, ex, flag = handles
         mant = np.asarray(mant, dtype=np.float64)[: packed.n_real]
         ex = np.asarray(ex, dtype=np.float64)[: packed.n_real]
         flag = np.asarray(flag)[: packed.n_real]
@@ -291,13 +319,19 @@ class PairHMM:
             deep = deep | (~in_range & (flag != 0))
         return res, deep
 
-    def compute_likelihoods(
+    def compute_likelihoods_async(
         self,
         reads: Sequence[ReadData],
         haplotypes: Sequence[HaplotypeData],
-        likelihoods: np.ndarray | None = None,
-    ) -> np.ndarray:
-        """Cross-product likelihoods, read-major (JavaData.h:84-106)."""
+    ) -> "PendingLikelihoods":
+        """Dispatch the cross-product batch WITHOUT waiting for the device.
+
+        Packs every bucket group and launches the scaled Pallas kernel
+        (JAX async dispatch); the returned handle materialises results —
+        including the float→double rescue — on ``.result()``.  This is the
+        streaming-pipeline building block: chunk N+1's host decode/pack
+        overlaps chunk N's device time.
+        """
         if reads is None or haplotypes is None:
             raise TypeError("readDataArray/haplotypeDataArray is null")
         if len(reads) == 0 or len(haplotypes) == 0:
@@ -323,11 +357,12 @@ class PairHMM:
                 quals.append((rd.read_quals, rd.insertion_gop, rd.deletion_gop, rd.overall_gcp))
 
         n = len(pairs_read)
-        out = np.zeros(n, np.float64)
         from . import profiling
 
         t0 = time.perf_counter() if profiling.metrics_enabled() else 0.0
+        cells = sum(len(r) * len(h) for r, h in zip(pairs_read, pairs_hap))
         groups = batch_mod.group_by_bucket(pairs_hap, pairs_read)
+        work = []
         for idxs in groups.values():
             packed = batch_mod.pack_pairs(
                 [pairs_hap[i] for i in idxs],
@@ -336,37 +371,82 @@ class PairHMM:
                 lane_multiple=self._lane_multiple,
             )
             if self.args.use_double_precision:
-                raw64 = self._raw_batch(packed, "float64")
+                work.append(("f64", idxs, packed, None))
+                continue
+            handles = self._forward_scaled_dispatch(packed)
+            if handles is not None:
+                # single pass: the scaled kernel is bit-identical to the
+                # plain f32 kernel for in-range lanes AND carries the
+                # rescue (IntelPairHmm.cc:157-165) in the same call
+                work.append(("scaled", idxs, packed, handles))
+            else:
+                work.append(("f32", idxs, packed, None))
+        return PendingLikelihoods(self, n, work, t0, cells)
+
+    def compute_likelihoods(
+        self,
+        reads: Sequence[ReadData],
+        haplotypes: Sequence[HaplotypeData],
+        likelihoods: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Cross-product likelihoods, read-major (JavaData.h:84-106)."""
+        out = self.compute_likelihoods_async(reads, haplotypes).result()
+        if likelihoods is not None:
+            likelihoods[: len(out)] = out
+            return likelihoods
+        return out
+
+
+class PendingLikelihoods:
+    """Handle for a dispatched likelihood batch (compute_likelihoods_async).
+
+    Holds the per-bucket device futures; ``result()`` fetches them,
+    applies the float→double rescue policy, and returns the (n,) float64
+    log10 likelihoods in pair order.  Safe to resolve exactly once.
+    """
+
+    def __init__(self, hmm: PairHMM, n: int, work, t0: float, cells: int):
+        self._hmm = hmm
+        self._n = n
+        self._work = work
+        self._t0 = t0
+        self._cells = cells
+        self._out: np.ndarray | None = None
+
+    def result(self) -> np.ndarray:
+        if self._out is not None:
+            return self._out
+        hmm = self._hmm
+        out = np.zeros(self._n, np.float64)
+        for kind, idxs, packed, handles in self._work:
+            if kind == "f64":
+                raw64 = hmm._raw_batch(packed, "float64")
                 res = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
             else:
-                forward = self._forward_scaled(packed)
-                if forward is not None:
-                    # single pass: the scaled kernel is bit-identical to the
-                    # plain f32 kernel for in-range lanes AND carries the
-                    # rescue (IntelPairHmm.cc:157-165) in the same call —
-                    # and its 4-row-unrolled loop is ~8% faster
-                    res, needs_rescue = forward
+                if kind == "scaled":
+                    res, needs_rescue = hmm._forward_scaled_finalize(
+                        packed, handles)
                 else:
-                    raw32 = self._raw_batch(packed, "float32")
+                    raw32 = hmm._raw_batch(packed, "float32")
                     res = pairhmm_ops.pairhmm_log10_from_raw_f32(raw32)
                     needs_rescue = raw32 < MIN_ACCEPTED
                 if np.any(needs_rescue):
                     # reference-exact f64 for lanes in the f64-subnormal
                     # parity zone, or whenever the fast path is unavailable
-                    raw64 = self._raw_batch(packed, "float64")
+                    raw64 = hmm._raw_batch(packed, "float64")
                     res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
                     res = np.where(needs_rescue, res64, res)
             out[np.asarray(idxs)] = res
+        self._work = ()
+        self._out = out
+
+        from . import profiling
 
         if profiling.metrics_enabled():
-            cells = sum(len(r) * len(h) for r, h in zip(pairs_read, pairs_hap))
             profiling.METRICS.record(
-                "pairhmm", items=n, cells=cells, seconds=time.perf_counter() - t0
+                "pairhmm", items=self._n, cells=self._cells,
+                seconds=time.perf_counter() - self._t0,
             )
-
-        if likelihoods is not None:
-            likelihoods[:n] = out
-            return likelihoods
         return out
 
 

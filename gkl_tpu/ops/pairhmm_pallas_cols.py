@@ -3,8 +3,13 @@
 The row-sweep kernel (``pairhmm_pallas.py``) carries (H, LANE_BLOCK) state
 tiles, capping the haplotype bucket at VMEM scratch (~2048).  This variant
 transposes the sweep: the DP state is three (R, LANE_BLOCK) tiles (reads
-are short and bounded), and the *haplotype* axis is streamed column by
-column, so long haplotypes cost VMEM only for their base bytes.
+are short and bounded), and the *haplotype* axis is streamed in chunks
+over a second (sequential) grid dimension — the M/X/Y state persists in
+scratch across grid steps while each step's hap block pages in, so VMEM
+bounds only the READ bucket and haplotypes of ANY length run at full
+speed (the TPU form of the reference's stripes covering any length,
+avx-pairhmm-template.h:291-323; same streaming pattern as the SW kernel's
+reference axis).
 
 Recurrence mapping under a column sweep (reference formulas,
 ``avx-pairhmm-template.h:208-223``):
@@ -40,7 +45,8 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
             pmx_ref, pxx_ref, pmy_ref, pyy_ref, inity_ref, rslen_ref,
             haplen_ref, out_ref, m_ref, x_ref, y_ref):
     R, LP = m_ref.shape
-    H = hap_ref.shape[0]
+    CH = hap_ref.shape[0]  # hap columns in this grid step's chunk
+    jgrid = pl.program_id(1)
     f32 = jnp.float32
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LP), 0)
@@ -58,11 +64,13 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
     haplen = haplen_ref[:]
     last_row = jnp.where((row_iota + 1) == rslen_ref[:], f32(1.0), f32(0.0))
 
-    zero = jnp.zeros((R, LP), f32)
-    m_ref[:] = zero
-    x_ref[:] = zero
-    y_ref[:] = zero
-    out_ref[:] = jnp.zeros((1, LP), f32)
+    @pl.when(jgrid == 0)
+    def _init():
+        zero = jnp.zeros((R, LP), f32)
+        m_ref[:] = zero
+        x_ref[:] = zero
+        y_ref[:] = zero
+        out_ref[:] = jnp.zeros((1, LP), f32)
 
     def shift1(v, first):
         return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
@@ -91,8 +99,10 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         ae = e2 + d
         k <<= 1
 
-    def body(j, carry):
-        hap_b = hap_ref[pl.ds(j, 1), :]  # (1, LP)
+    def body(jc, carry):
+        # jc: chunk-local column; j: global column index
+        j = jgrid * CH + jc
+        hap_b = hap_ref[pl.ds(jc, 1), :]  # (1, LP)
         match = (read_i == hap_b) | read_is_n | (hap_b == _N_CODE)
         prior = jnp.where(match, dmatch, dmis)
 
@@ -128,16 +138,16 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
         return carry
 
-    if H % 4 == 0:
+    if CH % 4 == 0:
         # 4-column unrolled chunks pipeline measurably better
         def chunk(c, carry):
             for k in range(4):
                 body(c * 4 + jnp.int32(k), carry)
             return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(H // 4), chunk, jnp.int32(0))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH // 4), chunk, jnp.int32(0))
     else:
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, jnp.int32(0))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
@@ -176,17 +186,30 @@ def pairhmm_raw_pallas_cols(hap, read, q, iq, dq, gcp, haplen, rslen,
     rslen2 = rslen.astype(jnp.int32)[None, :]
     haplen2 = haplen.astype(jnp.int32)[None, :]
 
-    grid = (P // lane_block,)
+    # haplotype chunk streamed over the second (sequential) grid axis:
+    # largest pow2 <= 512 dividing H (sublane rule: multiple of 8, or == H)
+    CH = H
+    for c in (512, 256, 128, 64, 32, 16, 8):
+        if H % c == 0:
+            CH = c
+            break
+    grid = (P // lane_block, H // CH)
 
     def lane_spec(length):
         return pl.BlockSpec(
             (length, lane_block),
-            lambda i: (jnp.int32(0), i),
+            lambda i, j: (jnp.int32(0), i),
             memory_space=pltpu.VMEM,
         )
 
+    hap_spec = pl.BlockSpec(
+        (CH, lane_block),
+        lambda i, j: (j, i),
+        memory_space=pltpu.VMEM,
+    )
+
     in_specs = [
-        lane_spec(H),  # hap
+        hap_spec,      # hap (streamed chunks)
         lane_spec(R),  # read
         lane_spec(R),  # dmatch
         lane_spec(R),  # dmis
