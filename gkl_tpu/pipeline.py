@@ -13,13 +13,23 @@ feeds read×haplotype batches through JNI, SURVEY.md §3.1):
    (single chip or sharded via `parallel.pairhmm_raw_sharded`);
 4. **gather** — per-pair log10 likelihood vectors (tiny) back to host.
 
-Chunked: reads stream through in `chunk_reads`-sized slices so host memory
-stays bounded and device steps overlap the next chunk's host decode.
+Chunked and genuinely overlapped: a producer thread decodes/filters BGZF
+records (native codec, GIL released) while the main thread packs and
+dispatches; device batches are dispatched asynchronously
+(``PairHMM.compute_likelihoods_async``) and resolved one chunk behind, so
+chunk N's kernels run while chunk N+1 decodes and packs.  Host memory
+stays bounded by ``prefetch`` chunks.  Stage times land in
+``profiling.METRICS`` (pipeline_wait / pipeline_dispatch /
+pipeline_resolve).
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import queue as queue_mod
+import threading
+import time
 from typing import Iterable, Iterator, Sequence
 
 import numpy as np
@@ -69,48 +79,91 @@ def pairhmm_stream(
     include_filtered: bool = False,
     hmm: PairHMM | None = None,
     threads: int | None = None,
+    prefetch: int = 2,
 ) -> Iterator[ChunkResult]:
     """Stream a BAM through the PairHMM engine against ``haplotypes``.
 
     Yields one ChunkResult per ``chunk_reads`` reads.  Secondary /
     supplementary / unmapped reads are skipped unless ``include_filtered``
     (GATK's HaplotypeCaller read filters, approximated).
+
+    Three overlapped stages: a producer thread decodes/filters records
+    (bounded ``prefetch``-chunk queue), the main thread packs and
+    async-dispatches each chunk, and results resolve one chunk behind the
+    dispatch so the device is never idle waiting on host work.
     """
     hmm = hmm or PairHMM(PairHMMNativeArguments())
     haplotypes = list(haplotypes)
+    from . import profiling
 
-    # incremental BGZF decode + record parse: host memory stays bounded by
-    # one read window regardless of BAM size
-    _, record_iter = bam_mod.read_bam_streaming(bam_path, limit=limit,
-                                                threads=threads)
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, prefetch))
 
-    batch: list[bam_mod.BamRecord] = []
-    for rec in record_iter:
-        if not include_filtered:
-            if rec.flag & (
-                bam_mod.FLAG_UNMAPPED
-                | bam_mod.FLAG_SECONDARY
-                | bam_mod.FLAG_SUPPLEMENTARY
-            ):
-                continue
-            if len(rec.seq) == 0:
-                continue
-        batch.append(rec)
-        if len(batch) >= chunk_reads:
-            yield _run_chunk(hmm, batch, haplotypes)
-            batch = []
-    if batch:
-        yield _run_chunk(hmm, batch, haplotypes)
+    def producer():
+        try:
+            # incremental BGZF decode + record parse: host memory stays
+            # bounded by one read window regardless of BAM size
+            _, record_iter = bam_mod.read_bam_streaming(
+                bam_path, limit=limit, threads=threads)
+            batch: list[bam_mod.BamRecord] = []
+            for rec in record_iter:
+                if not include_filtered:
+                    if rec.flag & (
+                        bam_mod.FLAG_UNMAPPED
+                        | bam_mod.FLAG_SECONDARY
+                        | bam_mod.FLAG_SUPPLEMENTARY
+                    ):
+                        continue
+                    if len(rec.seq) == 0:
+                        continue
+                batch.append(rec)
+                if len(batch) >= chunk_reads:
+                    q.put(("chunk", batch))
+                    batch = []
+            if batch:
+                q.put(("chunk", batch))
+            q.put(("done", None))
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            q.put(("error", e))
 
+    threading.Thread(target=producer, daemon=True).start()
 
-def _run_chunk(hmm: PairHMM, records: list[bam_mod.BamRecord],
-               haplotypes: Sequence[HaplotypeData]) -> ChunkResult:
-    reads = reads_from_records(records)
-    lik = hmm.compute_likelihoods(reads, haplotypes)
-    return ChunkResult(
-        read_names=[r.name for r in records],
-        likelihoods=np.asarray(lik).reshape(len(reads), len(haplotypes)),
-    )
+    metrics_on = profiling.metrics_enabled()
+    nh = len(haplotypes)
+    pending: collections.deque = collections.deque()
+
+    def resolve(entry) -> ChunkResult:
+        names, nr, handle = entry
+        t0 = time.perf_counter() if metrics_on else 0.0
+        res = ChunkResult(names, np.asarray(handle.result()).reshape(nr, nh))
+        if metrics_on:
+            profiling.METRICS.record("pipeline_resolve", items=nr,
+                                     seconds=time.perf_counter() - t0)
+        return res
+
+    while True:
+        t0 = time.perf_counter() if metrics_on else 0.0
+        kind, payload = q.get()
+        if metrics_on:
+            profiling.METRICS.record("pipeline_wait", items=1,
+                                     seconds=time.perf_counter() - t0)
+        if kind == "error":
+            raise payload
+        if kind == "done":
+            break
+        records = payload
+        t0 = time.perf_counter() if metrics_on else 0.0
+        reads = reads_from_records(records)
+        handle = hmm.compute_likelihoods_async(reads, haplotypes)
+        if metrics_on:
+            profiling.METRICS.record("pipeline_dispatch", items=len(reads),
+                                     seconds=time.perf_counter() - t0)
+        pending.append(([r.name for r in records], len(reads), handle))
+        # resolve one chunk behind: the popped chunk's device work overlaps
+        # the just-dispatched chunk's kernels and the producer's decode
+        while len(pending) > 1:
+            yield resolve(pending.popleft())
+    while pending:
+        yield resolve(pending.popleft())
 
 
 def sw_align_stream(
@@ -153,6 +206,27 @@ def sw_align_stream(
         res = sw.align_batch([reference] * len(batch),
                              [r.seq for r in batch], parameters, strategy)
         yield [r.name for r in batch], res
+
+
+def bam_recompress(src_path: str, dst_path: str, *, level: int = 6,
+                   threads: int | None = None, limit: int | None = None,
+                   window_blocks: int = 64) -> int:
+    """Stream a BAM through decode → re-encode → parallel BGZF deflate.
+
+    Record-level round trip (parse + re-serialise, not a byte copy) in
+    bounded memory: the read side inflates incrementally
+    (``read_bam_streaming``) while the write side batches encoded records
+    into maximal BGZF blocks for the native deflate pool
+    (``write_bam_streaming``) — the DeflaterIntegrationTest loop
+    (write the BAM through the accelerated deflater at a chosen level,
+    then assert record equality on re-read) as a pipeline stage.  Returns
+    the record count.
+    """
+    header, records = bam_mod.read_bam_streaming(src_path, limit=limit,
+                                                 threads=threads)
+    return bam_mod.write_bam_streaming(dst_path, header, records,
+                                       level=level, threads=threads,
+                                       window_blocks=window_blocks)
 
 
 def pairhmm_bam(bam_path: str, haplotypes: Sequence[HaplotypeData],

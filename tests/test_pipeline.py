@@ -206,3 +206,35 @@ def test_pipeline_golden_snapshot():
             rows.append([float(v) for v in parts[1:]])
     assert res.read_names == names
     np.testing.assert_allclose(res.likelihoods, np.array(rows), atol=1e-5)
+
+
+def test_streaming_writer_recompress_roundtrip(tmp_path):
+    """Full-BAM streaming recompress (decode → records → streaming writer,
+    bounded memory): record-for-record equality on re-read at levels 1 and
+    6, with every non-final BGZF block maximal (the write-side streaming
+    stage completing the DeflaterIntegrationTest loop)."""
+    from gkl_tpu import pipeline
+    from gkl_tpu.compression import bgzf
+
+    header, records = bam_mod.read_bam(BAM)
+    for level in (1, 6):
+        out = str(tmp_path / f"rc{level}.bam")
+        n = pipeline.bam_recompress(BAM, out, level=level,
+                                    window_blocks=4 if level == 1 else 64)
+        assert n == len(records)
+        h2, r2 = bam_mod.read_bam(out)
+        assert h2.ref_names == header.ref_names
+        assert len(r2) == len(records)
+        for a, b in zip(records, r2):
+            assert a.name == b.name and a.flag == b.flag
+            assert a.ref_id == b.ref_id and a.pos == b.pos and a.mapq == b.mapq
+            assert a.cigar == b.cigar
+            np.testing.assert_array_equal(a.seq, b.seq)
+            np.testing.assert_array_equal(a.qual, b.qual)
+        # non-final data blocks are maximal (the writer only emits a
+        # partial block at end-of-stream)
+        with open(out, "rb") as fh:
+            blocks = bgzf.split_blocks(fh.read())
+        sizes = [len(bgzf.decompress_block(b)) for b in blocks]
+        assert sizes[-1] == 0  # EOF marker
+        assert all(s == bgzf.MAX_BLOCK_DATA for s in sizes[:-2]), sizes[:8]
