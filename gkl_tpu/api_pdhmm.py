@@ -280,11 +280,16 @@ class PDHMM:
                     )
                 return out
 
-        # Group lanes by haplotype so PD-event columns align across each
-        # 128-lane block — the Pallas kernel's fast/slow column split then
-        # skips the branch machinery on event-free columns for the whole
-        # block.  Results are written back through the permutation.
-        order = sorted(range(n), key=lambda i: (haps[i].tobytes(), hap_pds[i].tobytes()))
+        # Lane planning for the Pallas fast/slow column split: primary key
+        # clusters lanes by FIRST PD-event column (heterogeneous haps then
+        # share slow columns per 128-lane block instead of poisoning every
+        # block; event-free lanes form all-fast blocks), secondary keys
+        # group identical haplotypes so cross-product batches align their
+        # event columns exactly.  Results are written back through the
+        # permutation.
+        order = sorted(range(n), key=lambda i: (
+            pdhmm_ops.lane_event_key(hap_pds[i]),
+            haps[i].tobytes(), hap_pds[i].tobytes()))
         haps = [haps[i] for i in order]
         hap_pds = [hap_pds[i] for i in order]
         reads = [reads[i] for i in order]

@@ -69,6 +69,21 @@ def column_states(hap_pd: np.ndarray) -> np.ndarray:
     return out
 
 
+def lane_event_key(hap_pd: np.ndarray) -> int:
+    """Batch-planner sort key for one lane's PD bytes: the first eventful
+    column (or a sentinel past any column when event-free).
+
+    The Pallas kernel's slow flag is per (128-lane block, column) — one
+    lane's PD event drags its whole block through the branch machinery for
+    that column.  Ordering lanes by first event position clusters lanes
+    whose events hit nearby columns into the same blocks (and event-free
+    lanes into all-fast blocks), so heterogeneous flat batches keep the
+    grouped-batch throughput instead of halving (the planner-level
+    equivalent of the reference's per-lane masks, pdhmm.h:384-466)."""
+    nz = np.flatnonzero(hap_pd)
+    return int(nz[0]) if nz.size else 1 << 30
+
+
 def _maxaffine_combine(left, right):
     """Compose x -> max(c, a*x + b) maps (left applied first, all args >= 0).
 

@@ -185,3 +185,41 @@ def test_batch_oracle_matches_serial():
         for k in range(len(cases))
     ])
     np.testing.assert_array_equal(batch, serial)
+
+
+def test_scattered_events_lane_planning():
+    """Heterogeneous flat batch with one PD event at a random column per
+    pair: the batch planner reorders lanes by first event column
+    (pdhmm_ops.lane_event_key) to keep the Pallas fast/slow split
+    effective, and must restore caller order exactly — results must match
+    the scalar oracle (the permutation is a pure planning detail)."""
+    from gkl_tpu import parallel
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    t, hl_n, rl_n = 48, 40, 24
+    hap = bases[rng.integers(0, 4, (t, hl_n))]
+    pd = np.zeros((t, hl_n), np.uint8)
+    for i in range(t):
+        j = int(rng.integers(2, hl_n - 6))
+        pd[i, j] = 2  # DEL_START
+        pd[i, j + 3] = 4  # DEL_END
+    pd[::7] = 0  # some event-free lanes
+    read = bases[rng.integers(0, 4, (t, rl_n))]
+    q = rng.integers(20, 41, (t, rl_n)).astype(np.uint8)
+    iq = rng.integers(30, 46, (t, rl_n)).astype(np.uint8)
+    dq = rng.integers(30, 46, (t, rl_n)).astype(np.uint8)
+    g = np.full((t, rl_n), 10, np.uint8)
+    hl = np.full(t, hl_n, np.int64)
+    rl = np.full(t, rl_n, np.int64)
+
+    # mesh path exercises the sorted/packed lane pipeline (the CPU
+    # no-mesh path shortcuts straight to the native oracle)
+    hmm = PDHMM(mesh=parallel.data_parallel_mesh(2))
+    got = hmm.compute_pdhmm(hap, pd, read, q, iq, dq, g, hl, rl,
+                            batch_size=t, max_hap_length=hl_n,
+                            max_read_length=rl_n)
+    want = pdhmm_ref.pdhmm_scalar_batch(
+        list(hap), list(pd), list(read),
+        [(q[i], iq[i], dq[i], g[i]) for i in range(t)])
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
