@@ -424,20 +424,38 @@ def relay_prolog(ref, alt, reflen, altlen, gap_open, gap_extend,
 
 def relay_drive(segment_call, ref_i, N, M, P, seg, h0, f0, lr0):
     """Shared relay loop: run ``segment_call(ref_seg, h, f, lr, rowbase)``
-    per segment, carry the state, and assemble bt/lastcol on host so
-    device and host memory are bounded by one segment at a time."""
+    per segment, carry the state, and assemble bt/lastcol on host.
+
+    The O(N·M/2) backtrack readback is double-buffered: segment s+1 is
+    dispatched (and s's device→host copies started asynchronously) BEFORE
+    s's arrays are materialised, so the DMA rides under the next segment's
+    compute — the TPU analogue of the reference streaming bt with
+    non-temporal stores to keep the kernel unblocked
+    (PairWiseSW.h:55-60,139-206).  Device/host memory stays bounded by two
+    segments."""
     import numpy as np_
 
     bt_host = np_.empty((P, N // 2, M), np_.uint8)
     lc_host = np_.empty((P, N), np_.int32)
     h, f, lr = h0, f0, lr0
     lastrow = None
+    pending = None  # (s0, bt_s, lc_s) not yet materialised
     for s0 in range(0, N, seg):
         bt_s, lastrow, lc_s, h, f = segment_call(
             ref_i[s0 : s0 + seg], h, f, lr, np_.full((1, P), s0, np_.int32))
         lr = lastrow
-        bt_host[:, s0 // 2 : (s0 + seg) // 2] = np_.asarray(bt_s)
-        lc_host[:, s0 : s0 + seg] = np_.asarray(lc_s)
+        for a in (bt_s, lc_s):
+            start = getattr(a, "copy_to_host_async", None)
+            if start is not None:
+                start()
+        if pending is not None:
+            p0, pbt, plc = pending
+            bt_host[:, p0 // 2 : (p0 + seg) // 2] = np_.asarray(pbt)
+            lc_host[:, p0 : p0 + seg] = np_.asarray(plc)
+        pending = (s0, bt_s, lc_s)
+    p0, pbt, plc = pending
+    bt_host[:, p0 // 2 : (p0 + seg) // 2] = np_.asarray(pbt)
+    lc_host[:, p0 : p0 + seg] = np_.asarray(plc)
     return bt_host, np_.asarray(lastrow), lc_host
 
 

@@ -270,3 +270,55 @@ def test_pdhmm_chunked_sharded_bit_parity():
         packed.dq, packed.gcp, packed.haplen, packed.rslen, r_chunk=8,
         lane_block=8, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_api_mesh_deep_lane_rescue_policies(monkeypatch):
+    """Mesh + deep-lane rescue equivalence across the three GKL_TPU_RESCUE
+    policies: each policy's mesh result must match the same policy WITHOUT
+    a mesh, and all must agree with the host-f64 engine to policy-level
+    tolerance (device policy trusts the scaled kernel: 1e-4; flagged/host
+    recompute deep lanes exactly)."""
+    from gkl_tpu import HaplotypeData, PairHMM, ReadData, utils
+    from gkl_tpu.api import PairHMMNativeArguments
+    from gkl_tpu.ops import pairhmm_pallas
+
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+
+    def force_interpret(orig):
+        def f(*a, **kw):
+            kw["interpret"] = True  # CPU mesh: no Mosaic compile
+            return orig(*a, **kw)
+
+        return f
+
+    for name in ("pairhmm_raw_pallas_scaled", "pairhmm_raw_pallas"):
+        monkeypatch.setattr(pairhmm_pallas, name,
+                            force_interpret(getattr(pairhmm_pallas, name)))
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, 320)]
+    # random read vs random hap at high qual -> deep underflow (~ -250)
+    reads = [ReadData(bases[rng.integers(0, 4, 256)],
+                      np.full(256, 50, np.uint8), np.full(256, 50, np.uint8),
+                      np.full(256, 50, np.uint8), np.full(256, 10, np.uint8))
+             for _ in range(3)]
+    haps = [HaplotypeData(hap)]
+
+    mesh = parallel.data_parallel_mesh(8)
+    f64 = PairHMM(PairHMMNativeArguments(use_double_precision=True),
+                  lane_multiple=8).compute_likelihoods(reads, haps)
+    assert np.max(f64) < -200  # genuinely deep lanes
+
+    # host recomputes every deep lane in exact f64; flagged only rescues
+    # lanes whose window-spread flag fired (these shallow-deep lanes stay
+    # on the scaled kernel), so flagged/device carry f32-class accuracy
+    for policy, tol in (("flagged", 1e-4), ("device", 1e-4), ("host", 1e-9)):
+        monkeypatch.setenv("GKL_TPU_RESCUE", policy)
+        no_mesh = PairHMM(lane_multiple=128).compute_likelihoods(reads, haps)
+        with_mesh = PairHMM(mesh=mesh, lane_multiple=128 * mesh.size
+                            ).compute_likelihoods(reads, haps)
+        np.testing.assert_allclose(with_mesh, no_mesh, rtol=0, atol=1e-9,
+                                   err_msg=policy)
+        np.testing.assert_allclose(with_mesh, f64, rtol=0, atol=tol,
+                                   err_msg=policy)
