@@ -71,3 +71,26 @@ def test_batched_equals_single():
     # cross-product then pick the diagonal
     out = hmm.compute_likelihoods(reads, haps).reshape(16, 16)
     np.testing.assert_allclose(np.diagonal(out), expected, atol=1e-5)
+
+
+def test_async_dispatch_matches_sync():
+    """compute_likelihoods_async must equal the sync API exactly (same
+    kernels, same rescue) with multiple batches in flight at once — the
+    pipeline's overlap building block."""
+    import golden
+    from gkl_tpu import HaplotypeData, PairHMM, ReadData
+
+    cases = golden.load_pairhmm_cases()[:6]
+    reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [HaplotypeData(c.hap) for c in cases]
+    hmm = PairHMM()
+    sync = hmm.compute_likelihoods(reads, haps)
+    # two batches dispatched before either resolves
+    p1 = hmm.compute_likelihoods_async(reads[:3], haps)
+    p2 = hmm.compute_likelihoods_async(reads[3:], haps)
+    a2 = p2.result()
+    a1 = p1.result()
+    got = np.concatenate([a1, a2])
+    np.testing.assert_array_equal(got, sync)
+    # resolving twice returns the same array
+    np.testing.assert_array_equal(p1.result(), a1)
