@@ -302,13 +302,13 @@ def bench_bam_pipeline(quick):
     haps = [HaplotypeData(records[i].seq) for i in (0, 1)]
     limit = 128 if quick else None
     # warm (compile) pass, then timed pass with the stage breakdown
-    pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=512)
+    pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=1024)
     from gkl_tpu import profiling
 
     os.environ["GKL_TPU_METRICS"] = "1"
     profiling.METRICS.reset()
     t0 = time.perf_counter()
-    res = pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=512)
+    res = pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=1024)
     dt = time.perf_counter() - t0
     os.environ.pop("GKL_TPU_METRICS", None)
     snap = profiling.METRICS.snapshot()

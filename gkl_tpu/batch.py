@@ -55,6 +55,12 @@ class PackedPairs:
 
 def _pad_columns(seqs: Sequence[np.ndarray], length: int, lanes: int, fill: int) -> np.ndarray:
     out = np.full((length, lanes), fill, dtype=np.uint8)
+    n = len(seqs)
+    if n and all(len(s) == len(seqs[0]) for s in seqs):
+        # uniform-length fast path (the common streaming case: fixed-length
+        # reads): one vectorized stack instead of a per-lane Python loop
+        out[: len(seqs[0]), :n] = np.stack(seqs, axis=1)
+        return out
     for k, s in enumerate(seqs):
         out[: len(s), k] = s
     return out

@@ -21,6 +21,9 @@ extern "C" int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out,
                                     int cap, int level);
 extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
                                 int out_cap);
+extern "C" void gkl_fast_inflate2(const uint8_t* in1, int n1, uint8_t* out1,
+                                  int cap1, const uint8_t* in2, int n2,
+                                  uint8_t* out2, int cap2, int* r1, int* r2);
 
 namespace {
 
@@ -159,12 +162,34 @@ void gkl_inflate_batch(const uint8_t* in, const int64_t* in_offsets,
                        int n_threads) {
   std::atomic<int> next(0);
   auto worker = [&]() {
+    // Raw blocks are independent: each worker grabs PAIRS and runs the
+    // two-stream interleaved decoder so the serial decode chains overlap
+    // in the out-of-order window (measured +16% on DNA-content blocks,
+    // neutral on BAM binary payloads — register pressure caps the gain).
+    // A -1 from the fast pair (malformed OR undersized out_stride) falls
+    // back to per-block do_inflate, whose zlib path is the error oracle.
     for (;;) {
-      int i = next.fetch_add(1);
+      int i = next.fetch_add(2);
       if (i >= n) return;
-      out_lens[i] = do_inflate(in + in_offsets[i], in_lens[i],
-                               out + (int64_t)i * out_stride, (int)out_stride,
-                               nowrap);
+      if (nowrap && i + 1 < n && fast_inflate_enabled()) {
+        int r1, r2;
+        gkl_fast_inflate2(in + in_offsets[i], in_lens[i],
+                          out + (int64_t)i * out_stride, (int)out_stride,
+                          in + in_offsets[i + 1], in_lens[i + 1],
+                          out + (int64_t)(i + 1) * out_stride,
+                          (int)out_stride, &r1, &r2);
+        out_lens[i] = r1 >= 0 ? r1 : do_inflate(
+            in + in_offsets[i], in_lens[i], out + (int64_t)i * out_stride,
+            (int)out_stride, nowrap);
+        out_lens[i + 1] = r2 >= 0 ? r2 : do_inflate(
+            in + in_offsets[i + 1], in_lens[i + 1],
+            out + (int64_t)(i + 1) * out_stride, (int)out_stride, nowrap);
+        continue;
+      }
+      for (int k = i; k < i + 2 && k < n; ++k)
+        out_lens[k] = do_inflate(in + in_offsets[k], in_lens[k],
+                                 out + (int64_t)k * out_stride,
+                                 (int)out_stride, nowrap);
     }
   };
   if (n_threads <= 1) {

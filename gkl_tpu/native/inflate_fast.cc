@@ -1,4 +1,4 @@
-// Fast one-shot raw-DEFLATE decoder for the BAM-read direction.
+// Fast one-shot raw-DEFLATE decoding for the BAM-read direction.
 //
 // The reference's Inflater is ISA-L-only (compression/IntelInflater.cc) —
 // inflate is the hot codec direction for the HaplotypeCaller flow (BGZF
@@ -13,14 +13,18 @@
 //  * two-level canonical Huffman tables: a root table indexed by the low
 //    ROOT bits of the accumulator (DEFLATE codes are stored MSB-first in
 //    LSB-first bytes, so table indices are bit-reversed codes) with
-//    appended sub-tables for codes longer than ROOT;
-//  * software-pipelined hot loop: the next symbol's table load issues
-//    before the current match copy / literal store so L1 latency hides
-//    under it; one refill covers a full length+distance pair (<= 48 bits);
+//    appended sub-tables for codes longer than ROOT (roots 11/10 — most
+//    length and distance codes resolve in one load);
 //  * root-level literal PAIRS: two short literal codes fused into one
 //    table entry (genomic alphabets give 2-4-bit literal codes);
-//  * match copies run in 16/8-byte chunks (overlap-safe by distance
-//    class; short periods seed once then double the window).
+//  * match extras extracted from a SAVED accumulator copy so the live
+//    accumulator sees one fused code+extra shift per code;
+//  * match copies in 16/8-byte chunks (overlap-safe by distance class;
+//    short periods seed once then double the window);
+//  * TWO-STREAM INTERLEAVING (gkl_fast_inflate2): independent BGZF blocks
+//    decode in one loop, one symbol-step each per iteration, so the two
+//    serial acc→load→shift dependency chains overlap in the out-of-order
+//    window — the batch API pairs blocks per worker.
 //
 // Contract: gkl_fast_inflate(in, n, out, out_cap) returns bytes written,
 // -1 on malformed input or insufficient out_cap (the caller falls back to
@@ -31,10 +35,10 @@
 
 namespace {
 
-// entry: bits(31..24) | type(17..16) | extra(23..18) | val(15..0)
-// type: 0 literal (val = byte), 1 len/dist value (val = base, extra bits
-// count in 'extra'), 2 end-of-block, 3 sub-table link (val = offset from
-// table start, extra = sub index bits)
+// entry: bits(31..24) | extra(23..18) | type(17..16) | val(15..0)
+// type: 0 literal (val = byte, or two bytes when extra == 2), 1 len/dist
+// value (val = base, extra-bit count in 'extra'), 2 end-of-block, 3
+// sub-table link (val = offset from table start, extra = sub index bits)
 using Entry = uint32_t;
 
 inline Entry make_entry(unsigned bits, unsigned type, unsigned extra,
@@ -50,10 +54,10 @@ constexpr Entry kInvalid = 0;  // bits == 0 marks an unreachable index
 
 constexpr int kRootLit = 11;
 constexpr int kRootDist = 10;
+constexpr int kMaxRoot = 12;  // build_table scratch sizing bound
 // zlib's ENOUGH analysis bounds two-level tables at 852 (root 9) / 592
 // (root 6) entries; these capacities are comfortably past the equivalents
-// for root 10 / 8.
-constexpr int kMaxRoot = 12;  // build_table scratch sizing bound
+// for the roots used here.
 constexpr int kLitCap = (1 << kRootLit) + 1024;
 constexpr int kDistCap = (1 << kRootDist) + 768;
 
@@ -165,12 +169,10 @@ int build_table(const uint8_t* lens, int nsym, int root, Entry* table,
     } else {
       int slot = (int)(rc & (uint32_t)(root_size - 1));
       int sub_bits = slot_max[slot];
-      int idx = sub_off[slot] + (int)(rc >> root);
       int step = 1 << (l - root);
       int size = 1 << sub_bits;
       for (int i = (int)(rc >> root); i < size; i += step)
         table[sub_off[slot] + i] = e;
-      (void)idx;
     }
   }
   // literal-pair fusion (litlen only): when a root entry is a literal and
@@ -257,6 +259,11 @@ struct StaticTables {
   }
 };
 
+const StaticTables& static_tables() {
+  static const StaticTables t;
+  return t;
+}
+
 inline int decode_sym(BitReader& br, const Entry* table, int root,
                       Entry* out_e) {
   Entry e = table[br.acc & ((1u << root) - 1u)];
@@ -271,251 +278,397 @@ inline int decode_sym(BitReader& br, const Entry* table, int root,
   return 0;
 }
 
-}  // namespace
+// decoder states
+enum {
+  ST_HEADER = 0,  // next bits are a block header (or first block)
+  ST_HUFF = 1,    // inside a huffman block, lit/dist set
+  ST_DONE = 2,
+  ST_ERR = -1,
+};
 
-extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
-                                int out_cap) {
-  static const StaticTables kStatic;
-  if (n <= 0 || !kStatic.ok) return -1;
+struct Ctx {
   BitReader br;
-  br.in = in;
-  br.n = n;
   Tables dyn;
+  const Entry* lit = nullptr;
+  const Entry* dist = nullptr;
+  uint8_t* out = nullptr;
   int op = 0;
+  int out_cap = 0;
+  uint32_t bfinal = 0;
+  int state = ST_HEADER;
+};
 
+// Process block headers (and whole stored blocks) until entering a huffman
+// block, finishing, or erroring.  Leaves state ST_HUFF / ST_DONE / ST_ERR.
+void enter_block(Ctx& c) {
+  BitReader& br = c.br;
+  const uint8_t* in = br.in;
+  const int n = br.n;
   for (;;) {
     br.refill();
-    if (br.pad > 8) return -1;  // truncated stream
-    uint32_t bfinal = br.get(1);
+    if (br.pad > 8) { c.state = ST_ERR; return; }
+    c.bfinal = br.get(1);
     uint32_t btype = br.get(2);
     if (btype == 0) {
       // stored block: align, LEN/NLEN, bulk copy
       br.drop(br.nbits & 7);
-      if (br.pad) return -1;
+      if (br.pad) { c.state = ST_ERR; return; }
       br.refill();
       uint32_t len = br.get(16);
       uint32_t nlen = br.get(16);
-      if ((len ^ nlen) != 0xFFFFu) return -1;
-      if (op + (int)len > out_cap) return -1;
+      if ((len ^ nlen) != 0xFFFFu) { c.state = ST_ERR; return; }
+      if (c.op + (int)len > c.out_cap) { c.state = ST_ERR; return; }
       // drain bytes still in the accumulator, then memcpy the rest
       while (len && br.nbits >= 8) {
-        out[op++] = (uint8_t)(br.acc & 0xFF);
+        c.out[c.op++] = (uint8_t)(br.acc & 0xFF);
         br.drop(8);
         --len;
       }
-      if (br.pad) return -1;
+      if (br.pad) { c.state = ST_ERR; return; }
       if (len) {
-        if (br.pos + (int)len > n) return -1;
-        std::memcpy(out + op, in + br.pos, len);
+        if (br.pos + (int)len > n) { c.state = ST_ERR; return; }
+        std::memcpy(c.out + c.op, in + br.pos, len);
         br.pos += (int)len;
-        op += (int)len;
+        c.op += (int)len;
       }
       // the bulk copy advanced pos past bytes whose stale images still sit
       // in the accumulator's unaccounted top bits — clear them so the next
       // refill's OR sees zeros there
       br.acc &= br.nbits ? ((1ull << br.nbits) - 1ull) : 0ull;
-    } else if (btype == 3) {
-      return -1;
-    } else {
-      const Entry* lit_t;
-      const Entry* dist_t;
-      if (btype == 1) {
-        lit_t = kStatic.t.lit;
-        dist_t = kStatic.t.dist;
+      if (c.bfinal) { c.state = ST_DONE; return; }
+      continue;
+    }
+    if (btype == 3) { c.state = ST_ERR; return; }
+    if (btype == 1) {
+      c.lit = static_tables().t.lit;
+      c.dist = static_tables().t.dist;
+      c.state = ST_HUFF;
+      return;
+    }
+    // dynamic header
+    br.refill();
+    int hlit = (int)br.get(5) + 257;
+    int hdist = (int)br.get(5) + 1;
+    int hclen = (int)br.get(4) + 4;
+    uint8_t cl_lens[19] = {0};
+    for (int i = 0; i < hclen; ++i) {
+      if (br.nbits < 3) br.refill();
+      cl_lens[kClPerm[i]] = (uint8_t)br.get(3);
+    }
+    Entry cl_table[1 << 7];
+    if (build_table(cl_lens, 19, 7, cl_table, 1 << 7, kKindCl) < 0) {
+      c.state = ST_ERR;
+      return;
+    }
+    uint8_t lens[288 + 32] = {0};
+    int total = hlit + hdist;
+    int i = 0;
+    while (i < total) {
+      br.refill();
+      if (br.pad > 8) { c.state = ST_ERR; return; }
+      Entry e;
+      if (decode_sym(br, cl_table, 7, &e)) { c.state = ST_ERR; return; }
+      unsigned sym = e_val(e);
+      if (sym < 16) {
+        lens[i++] = (uint8_t)sym;
+      } else if (sym == 16) {
+        if (i == 0) { c.state = ST_ERR; return; }
+        int rep = 3 + (int)br.get(2);
+        if (i + rep > total) { c.state = ST_ERR; return; }
+        uint8_t prev = lens[i - 1];
+        while (rep--) lens[i++] = prev;
+      } else if (sym == 17) {
+        int rep = 3 + (int)br.get(3);
+        if (i + rep > total) { c.state = ST_ERR; return; }
+        i += rep;  // already zero
       } else {
-        // dynamic header
-        br.refill();
-        int hlit = (int)br.get(5) + 257;
-        int hdist = (int)br.get(5) + 1;
-        int hclen = (int)br.get(4) + 4;
-        uint8_t cl_lens[19] = {0};
-        for (int i = 0; i < hclen; ++i) {
-          if (br.nbits < 3) br.refill();
-          cl_lens[kClPerm[i]] = (uint8_t)br.get(3);
-        }
-        Entry cl_table[1 << 7];
-        if (build_table(cl_lens, 19, 7, cl_table, 1 << 7, kKindCl) < 0)
-          return -1;
-        uint8_t lens[288 + 32] = {0};
-        int total = hlit + hdist;
-        int i = 0;
-        while (i < total) {
-          br.refill();
-          if (br.pad > 8) return -1;
-          Entry e;
-          if (decode_sym(br, cl_table, 7, &e)) return -1;
-          unsigned sym = e_val(e);
-          if (sym < 16) {
-            lens[i++] = (uint8_t)sym;
-          } else if (sym == 16) {
-            if (i == 0) return -1;
-            int rep = 3 + (int)br.get(2);
-            if (i + rep > total) return -1;
-            uint8_t prev = lens[i - 1];
-            while (rep--) lens[i++] = prev;
-          } else if (sym == 17) {
-            int rep = 3 + (int)br.get(3);
-            if (i + rep > total) return -1;
-            i += rep;  // already zero
-          } else {
-            int rep = 11 + (int)br.get(7);
-            if (i + rep > total) return -1;
-            i += rep;
-          }
-        }
-        if (lens[256] == 0) return -1;  // no end-of-block code
-        if (build_table(lens, hlit, kRootLit, dyn.lit, kLitCap,
-                        kKindLitLen) < 0)
-          return -1;
-        if (build_table(lens + hlit, hdist, kRootDist, dyn.dist, kDistCap,
-                        kKindDist) < 0)
-          return -1;
-        lit_t = dyn.lit;
-        dist_t = dyn.dist;
+        int rep = 11 + (int)br.get(7);
+        if (i + rep > total) { c.state = ST_ERR; return; }
+        i += rep;
       }
+    }
+    if (lens[256] == 0) { c.state = ST_ERR; return; }  // no end-of-block
+    if (build_table(lens, hlit, kRootLit, c.dyn.lit, kLitCap,
+                    kKindLitLen) < 0 ||
+        build_table(lens + hlit, hdist, kRootDist, c.dyn.dist, kDistCap,
+                    kKindDist) < 0) {
+      c.state = ST_ERR;
+      return;
+    }
+    c.lit = c.dyn.lit;
+    c.dist = c.dyn.dist;
+    c.state = ST_HUFF;
+    return;
+  }
+}
 
-      // ---- fast decode loop: register-resident bit state, one refill
-      // covers a full length+distance pair (<= 48 bits) or three
-      // literals; bounds checks hoisted to loop entry (out keeps a
-      // 258+16-byte margin so match copies run unchecked in 16-byte
-      // chunks; in keeps an 8-byte margin so refills never pad)
-      {
-        uint64_t acc = br.acc;
-        int nbits = br.nbits;
-        int pos = br.pos;
-        const int in_fast = n - 8;
-        const int out_fast = out_cap - 258 - 16;
-        const uint32_t lmask = (1u << kRootLit) - 1u;
-        const uint32_t dmask = (1u << kRootDist) - 1u;
-        int eob = 0;
-        // software-pipelined: `e` always holds the NEXT litlen entry, whose
-        // table load was issued before the previous symbol's copy/write so
-        // the L1 latency hides under it (the classic fast-inflate shape)
-#define GKL_REFILL()                                                        \
+// Register-resident hot state for the fast loops (synced from/to Ctx).
+struct Hot {
+  uint64_t acc;
+  int nbits;
+  int pos;
+  const uint8_t* in;
+  uint8_t* out;
+  int op;
+  const Entry* lit;
+  const Entry* dist;
+  int in_fast;   // pos must stay <= in_fast for unchecked refills
+  int out_fast;  // op must stay <= out_fast for unchecked writes
+};
+
+inline void hot_load(Hot& h, const Ctx& c) {
+  h.acc = c.br.acc;
+  h.nbits = c.br.nbits;
+  h.pos = c.br.pos;
+  h.in = c.br.in;
+  h.out = c.out;
+  h.op = c.op;
+  h.lit = c.lit;
+  h.dist = c.dist;
+  h.in_fast = c.br.n - 8;
+  h.out_fast = c.out_cap - 258 - 16;
+}
+
+inline void hot_store(const Hot& h, Ctx& c) {
+  c.br.acc = h.acc;
+  c.br.nbits = h.nbits;
+  c.br.pos = h.pos;
+  c.op = h.op;
+}
+
+#define GKL_HOT_REFILL(h)                                                   \
   do {                                                                      \
-    if (nbits < 48) {                                                       \
+    if ((h).nbits < 48) {                                                   \
       uint64_t w_;                                                          \
-      std::memcpy(&w_, in + pos, 8);                                        \
-      acc |= w_ << nbits;                                                   \
-      pos += (63 - nbits) >> 3;                                             \
-      nbits |= 56;                                                          \
+      std::memcpy(&w_, (h).in + (h).pos, 8);                                \
+      (h).acc |= w_ << (h).nbits;                                           \
+      (h).pos += (63 - (h).nbits) >> 3;                                     \
+      (h).nbits |= 56;                                                      \
     }                                                                       \
   } while (0)
-        GKL_REFILL();
-        Entry e = lit_t[acc & lmask];
-        while (pos <= in_fast && op <= out_fast) {
-          if (__builtin_expect(e_type(e) == 3, 0))
-            e = lit_t[e_val(e) + ((acc >> kRootLit) & ((1u << e_extra(e)) - 1u))];
-          unsigned bits = e_bits(e);
-          if (bits == 0) { br.acc = acc; return -1; }
-          acc >>= bits;
-          nbits -= (int)bits;
-          unsigned t = e_type(e);
-          if (t == 0) {
-            unsigned v = e_val(e);
-            unsigned cnt = e_extra(e);  // 1, or 2 for a fused literal pair
-            if (nbits < 15) GKL_REFILL();
-            e = lit_t[acc & lmask];  // next lookup in flight
-            out[op] = (uint8_t)v;    // unconditional pair store; margin
-            out[op + 1] = (uint8_t)(v >> 8);  // covers the dead byte
-            op += (int)cnt;
-            continue;
-          }
-          if (t == 2) { eob = 1; break; }
-          // the literal fast path only maintains a 15-bit budget; a match
-          // still needs <= 33 more (len extra + dist code + dist extra)
-          GKL_REFILL();
-          // length + distance from one refill window.  Extras come from a
-          // SAVED copy of the accumulator so the live acc sees one fused
-          // code+extra shift (no dependent chain).
-          unsigned ex = e_extra(e);
-          uint64_t saved = acc;
-          acc >>= ex;
-          nbits -= (int)ex;
-          int len = (int)e_val(e) + (int)(saved & ((1u << ex) - 1u));
-          Entry de = dist_t[acc & dmask];
-          if (__builtin_expect(e_type(de) == 3, 0))
-            de = dist_t[e_val(de) +
-                        ((acc >> kRootDist) & ((1u << e_extra(de)) - 1u))];
-          bits = e_bits(de);
-          if (bits == 0 || e_type(de) != 1) return -1;
-          ex = e_extra(de);
-          saved = acc >> bits;
-          acc >>= bits + ex;
-          nbits -= (int)(bits + ex);
-          int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
-          if (__builtin_expect(dist > op, 0)) return -1;
-          GKL_REFILL();
-          e = lit_t[acc & lmask];  // next symbol's load rides the copy
-          uint8_t* dst = out + op;
-          const uint8_t* src = dst - dist;
-          op += len;
-          if (dist >= 16) {
-            do {
-              std::memcpy(dst, src, 16);
-              dst += 16;
-              src += 16;
-              len -= 16;
-            } while (len > 0);
-          } else if (dist >= 8) {
-            do {
-              std::memcpy(dst, src, 8);
-              dst += 8;
-              src += 8;
-              len -= 8;
-            } while (len > 0);
-          } else {
-            // short period: seed one period, then double the window
-            for (int k = 0; k < dist; ++k) dst[k] = src[k];
-            int have = dist;
-            while (have < len) {
-              int c = have < len - have ? have : len - have;
-              std::memcpy(dst + have, dst, (size_t)c);
-              have += c;
-            }
-          }
-        }
-#undef GKL_REFILL
-        br.acc = acc;
-        br.nbits = nbits;
-        br.pos = pos;
-        if (eob) goto block_done;
-      }
 
-      // ---- careful tail loop (input or output margin exhausted)
-      for (;;) {
-        br.refill();
-        if (br.pad > 8) return -1;
-        Entry e;
-        if (decode_sym(br, lit_t, kRootLit, &e)) return -1;
-        unsigned t = e_type(e);
-        if (t == 0) {
-          unsigned v = e_val(e);
-          for (unsigned k = 0; k < e_extra(e); ++k) {
-            if (op >= out_cap) return -1;
-            out[op++] = (uint8_t)(v >> (8 * k));
-          }
-          continue;
-        }
-        if (t == 2) break;  // end of block
-        int len = (int)e_val(e) + (int)br.get((int)e_extra(e));
-        br.refill();
-        Entry de;
-        if (decode_sym(br, dist_t, kRootDist, &de)) return -1;
-        if (e_type(de) != 1) return -1;
-        int dist = (int)e_val(de) + (int)br.get((int)e_extra(de));
-        if (dist > op) return -1;  // before start of output
-        if (op + len > out_cap) return -1;
-        uint8_t* dst = out + op;
-        const uint8_t* src = dst - dist;
-        for (int k = 0; k < len; ++k) dst[k] = src[k];
-        op += len;
-      }
-    block_done:;
+// One symbol-group (a literal burst or one match) in fast mode.  The
+// caller guarantees pos <= in_fast and op <= out_fast beforehand.
+// Returns 0 to continue, 1 on end-of-block, -1 on error.
+inline int hot_symbol(Hot& h) {
+  constexpr uint32_t lmask = (1u << kRootLit) - 1u;
+  constexpr uint32_t dmask = (1u << kRootDist) - 1u;
+  GKL_HOT_REFILL(h);
+  Entry e = h.lit[h.acc & lmask];
+  if (__builtin_expect(e_type(e) == 3, 0))
+    e = h.lit[e_val(e) + ((h.acc >> kRootLit) & ((1u << e_extra(e)) - 1u))];
+  unsigned bits = e_bits(e);
+  if (bits == 0) return -1;
+  h.acc >>= bits;
+  h.nbits -= (int)bits;
+  unsigned t = e_type(e);
+  if (t == 0) {
+    unsigned v = e_val(e);
+    unsigned cnt = e_extra(e);  // 1, or 2 for a fused literal pair
+    h.out[h.op] = (uint8_t)v;   // unconditional pair store; margin
+    h.out[h.op + 1] = (uint8_t)(v >> 8);  // covers the dead byte
+    h.op += (int)cnt;
+    // up to two more literal groups from the same refill window (the
+    // burst costs one margin check for as many as six output bytes)
+    for (int k = 0; k < 2 && h.nbits >= 15; ++k) {
+      e = h.lit[h.acc & lmask];
+      if (__builtin_expect(e_type(e) == 3, 0))
+        e = h.lit[e_val(e) +
+                  ((h.acc >> kRootLit) & ((1u << e_extra(e)) - 1u))];
+      if (e_type(e) != 0) break;
+      bits = e_bits(e);
+      if (bits == 0) return -1;
+      h.acc >>= bits;
+      h.nbits -= (int)bits;
+      v = e_val(e);
+      h.out[h.op] = (uint8_t)v;
+      h.out[h.op + 1] = (uint8_t)(v >> 8);
+      h.op += (int)e_extra(e);
     }
-    if (bfinal) break;
+    return 0;
   }
+  if (t == 2) return 1;
+  // length + distance.  The literal path maintains only a 15-bit budget;
+  // a match needs <= 33 more bits (len extra + dist code + dist extra).
+  GKL_HOT_REFILL(h);
+  unsigned ex = e_extra(e);
+  uint64_t saved = h.acc;
+  h.acc >>= ex;
+  h.nbits -= (int)ex;
+  int len = (int)e_val(e) + (int)(saved & ((1u << ex) - 1u));
+  Entry de = h.dist[h.acc & dmask];
+  if (__builtin_expect(e_type(de) == 3, 0))
+    de = h.dist[e_val(de) +
+                ((h.acc >> kRootDist) & ((1u << e_extra(de)) - 1u))];
+  bits = e_bits(de);
+  if (bits == 0 || e_type(de) != 1) return -1;
+  ex = e_extra(de);
+  saved = h.acc >> bits;
+  h.acc >>= bits + ex;
+  h.nbits -= (int)(bits + ex);
+  int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
+  if (__builtin_expect(dist > h.op, 0)) return -1;
+  uint8_t* dst = h.out + h.op;
+  const uint8_t* src = dst - dist;
+  h.op += len;
+  if (dist >= 16) {
+    do {
+      std::memcpy(dst, src, 16);
+      dst += 16;
+      src += 16;
+      len -= 16;
+    } while (len > 0);
+  } else if (dist >= 8) {
+    do {
+      std::memcpy(dst, src, 8);
+      dst += 8;
+      src += 8;
+      len -= 8;
+    } while (len > 0);
+  } else {
+    // short period: seed one period, then double the window
+    for (int k = 0; k < dist; ++k) dst[k] = src[k];
+    int have = dist;
+    while (have < len) {
+      int c2 = have < len - have ? have : len - have;
+      std::memcpy(dst + have, dst, (size_t)c2);
+      have += c2;
+    }
+  }
+  return 0;
+}
+
+// Fast loop for one stream; leaves state ST_HEADER/ST_DONE on block end,
+// ST_HUFF when margins force the careful loop, ST_ERR on error.
+void hot_loop(Ctx& c) {
+  Hot h;
+  hot_load(h, c);
+  int r = 0;
+  while (h.pos <= h.in_fast && h.op <= h.out_fast) {
+    r = hot_symbol(h);
+    if (r) break;
+  }
+  hot_store(h, c);
+  if (r < 0)
+    c.state = ST_ERR;
+  else if (r == 1)
+    c.state = c.bfinal ? ST_DONE : ST_HEADER;
+  // r == 0: margins exhausted, state stays ST_HUFF
+}
+
+// Careful per-symbol loop to the end of the current huffman block.
+void careful_loop(Ctx& c) {
+  BitReader& br = c.br;
+  for (;;) {
+    br.refill();
+    if (br.pad > 8) { c.state = ST_ERR; return; }
+    Entry e;
+    if (decode_sym(br, c.lit, kRootLit, &e)) { c.state = ST_ERR; return; }
+    unsigned t = e_type(e);
+    if (t == 0) {
+      unsigned v = e_val(e);
+      for (unsigned k = 0; k < e_extra(e); ++k) {
+        if (c.op >= c.out_cap) { c.state = ST_ERR; return; }
+        c.out[c.op++] = (uint8_t)(v >> (8 * k));
+      }
+      continue;
+    }
+    if (t == 2) break;  // end of block
+    int len = (int)e_val(e) + (int)br.get((int)e_extra(e));
+    br.refill();
+    Entry de;
+    if (decode_sym(br, c.dist, kRootDist, &de)) { c.state = ST_ERR; return; }
+    if (e_type(de) != 1) { c.state = ST_ERR; return; }
+    int dist = (int)e_val(de) + (int)br.get((int)e_extra(de));
+    if (dist > c.op) { c.state = ST_ERR; return; }  // before output start
+    if (c.op + len > c.out_cap) { c.state = ST_ERR; return; }
+    uint8_t* dst = c.out + c.op;
+    const uint8_t* src = dst - dist;
+    for (int k = 0; k < len; ++k) dst[k] = src[k];
+    c.op += len;
+  }
+  c.state = c.bfinal ? ST_DONE : ST_HEADER;
+}
+
+int init_ctx(Ctx& c, const uint8_t* in, int n, uint8_t* out, int out_cap) {
+  if (n <= 0 || !static_tables().ok) return -1;
+  c.br.in = in;
+  c.br.n = n;
+  c.out = out;
+  c.out_cap = out_cap;
+  return 0;
+}
+
+int finish(Ctx& c) {
+  if (c.state != ST_DONE) return -1;
   // consumed bits must not extend past the real input
-  if (br.pad * 8 > br.nbits) return -1;
-  return op;
+  if (c.br.pad * 8 > c.br.nbits) return -1;
+  return c.op;
+}
+
+// Drive one stream to completion from its current state.
+void drive(Ctx& c) {
+  for (;;) {
+    if (c.state == ST_HEADER) enter_block(c);
+    if (c.state == ST_HUFF) {
+      hot_loop(c);
+      if (c.state == ST_HUFF) careful_loop(c);
+    }
+    if (c.state == ST_DONE || c.state == ST_ERR) return;
+  }
+}
+
+}  // namespace
+
+extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
+                                int out_cap) {
+  Ctx c;
+  if (init_ctx(c, in, n, out, out_cap)) return -1;
+  drive(c);
+  return finish(c);
+}
+
+// Interleaved decode of two independent raw-DEFLATE streams: one
+// symbol-step each per loop iteration so the two serial decode chains
+// overlap in the out-of-order window.  Results match gkl_fast_inflate on
+// each stream (same per-stream machinery; only scheduling differs).
+extern "C" void gkl_fast_inflate2(const uint8_t* in1, int n1, uint8_t* out1,
+                                  int cap1, const uint8_t* in2, int n2,
+                                  uint8_t* out2, int cap2, int* r1, int* r2) {
+  Ctx a, b;
+  if (init_ctx(a, in1, n1, out1, cap1)) { *r1 = -1; *r2 = gkl_fast_inflate(in2, n2, out2, cap2); return; }
+  if (init_ctx(b, in2, n2, out2, cap2)) { *r2 = -1; drive(a); *r1 = finish(a); return; }
+  for (;;) {
+    if (a.state == ST_HEADER) enter_block(a);
+    if (b.state == ST_HEADER) enter_block(b);
+    if (a.state != ST_HUFF || b.state != ST_HUFF) break;
+    Hot ha, hb;
+    hot_load(ha, a);
+    hot_load(hb, b);
+    int ra = 0, rb = 0;
+    // fused loop: both chains advance per iteration; exits when either
+    // stream ends its block, errors, or runs out of fast margin
+    while (ra == 0 && rb == 0 && ha.pos <= ha.in_fast &&
+           ha.op <= ha.out_fast && hb.pos <= hb.in_fast &&
+           hb.op <= hb.out_fast) {
+      ra = hot_symbol(ha);
+      rb = hot_symbol(hb);
+    }
+    hot_store(ha, a);
+    hot_store(hb, b);
+    if (ra < 0) a.state = ST_ERR;
+    else if (ra == 1) a.state = a.bfinal ? ST_DONE : ST_HEADER;
+    if (rb < 0) b.state = ST_ERR;
+    else if (rb == 1) b.state = b.bfinal ? ST_DONE : ST_HEADER;
+    // a stream still ST_HUFF with margins exhausted finishes its block
+    // carefully, then the loop re-enters the fused phase if both live
+    if (a.state == ST_HUFF && (a.br.pos > a.br.n - 8 || a.op > a.out_cap - 274))
+      careful_loop(a);
+    if (b.state == ST_HUFF && (b.br.pos > b.br.n - 8 || b.op > b.out_cap - 274))
+      careful_loop(b);
+  }
+  drive(a);
+  drive(b);
+  *r1 = finish(a);
+  *r2 = finish(b);
 }

@@ -54,17 +54,26 @@ def reads_from_records(records: Iterable[bam_mod.BamRecord],
     insertion/deletion GOPs default to 45 and the gap continuation penalty
     to ``default_gcp`` (GATK PairHMMLikelihoodCalculationEngine defaults).
     """
+    # constant GOP/GCP rows are shared across reads of the same length
+    # (read-only downstream); per-record np.full allocations dominated the
+    # dispatch stage before
+    gop_cache: dict[int, np.ndarray] = {}
+    gcp_cache: dict[int, np.ndarray] = {}
     out = []
     for rec in records:
         q = np.maximum(rec.qual, MIN_BASE_QUAL).astype(np.uint8)
         n = len(rec.seq)
+        gop = gop_cache.get(n)
+        if gop is None:
+            gop = gop_cache[n] = np.full(n, 45, np.uint8)
+            gcp_cache[n] = np.full(n, default_gcp, np.uint8)
         out.append(
             ReadData(
                 read_bases=rec.seq,
                 read_quals=q,
-                insertion_gop=np.full(n, 45, np.uint8),
-                deletion_gop=np.full(n, 45, np.uint8),
-                overall_gcp=np.full(n, default_gcp, np.uint8),
+                insertion_gop=gop,
+                deletion_gop=gop,
+                overall_gcp=gcp_cache[n],
             )
         )
     return out
@@ -74,12 +83,12 @@ def pairhmm_stream(
     bam_path: str,
     haplotypes: Sequence[HaplotypeData],
     *,
-    chunk_reads: int = 512,
+    chunk_reads: int = 1024,
     limit: int | None = None,
     include_filtered: bool = False,
     hmm: PairHMM | None = None,
     threads: int | None = None,
-    prefetch: int = 2,
+    prefetch: int = 3,
 ) -> Iterator[ChunkResult]:
     """Stream a BAM through the PairHMM engine against ``haplotypes``.
 
