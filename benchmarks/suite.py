@@ -289,6 +289,27 @@ def bench_codec(quick):
         _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s", cores=cores)
 
 
+def _replicated_bam(bam_path, copies):
+    """A copies×-replicated BAM (built once, via the streaming writer):
+    the bundled 2k-line file is only ~1 chunk of reads, far too small for a
+    steady-state throughput window — the pipeline's overlap needs many
+    chunks in flight to mean anything."""
+    import tempfile
+
+    from gkl_tpu import bam as bam_mod
+
+    dst = os.path.join(tempfile.gettempdir(), f"gkl_bench_x{copies}.bam")
+    if not os.path.exists(dst):
+        header, records = bam_mod.read_bam(bam_path)
+
+        def rep():
+            for _ in range(copies):
+                yield from records
+
+        bam_mod.write_bam_streaming(dst, header, rep(), level=1)
+    return dst
+
+
 def bench_bam_pipeline(quick):
     from gkl_tpu import bam as bam_mod
     from gkl_tpu import pipeline
@@ -300,15 +321,20 @@ def bench_bam_pipeline(quick):
         return
     _, records = bam_mod.read_bam(bam_path, limit=8)
     haps = [HaplotypeData(records[i].seq) for i in (0, 1)]
-    limit = 128 if quick else None
-    # warm (compile) pass, then timed pass with the stage breakdown
-    pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=1024)
+    if quick:
+        limit, chunk = 128, 1024
+    else:
+        bam_path = _replicated_bam(bam_path, 16)
+        limit, chunk = None, 2048
+    # warm pass over the SAME stream (compiles every shape incl. the tail
+    # chunk's bucket), then the timed pass with the stage breakdown
+    pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=chunk)
     from gkl_tpu import profiling
 
     os.environ["GKL_TPU_METRICS"] = "1"
     profiling.METRICS.reset()
     t0 = time.perf_counter()
-    res = pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=1024)
+    res = pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=chunk)
     dt = time.perf_counter() - t0
     os.environ.pop("GKL_TPU_METRICS", None)
     snap = profiling.METRICS.snapshot()

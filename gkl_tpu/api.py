@@ -98,10 +98,70 @@ def _scaled_stacked_jit(inner_fn):
     return f
 
 
-def _scaled_stacked(*args):
+def _scaled_inner_fn():
+    """The scaled-kernel entry used by the stacked/indexed jit wrappers.
+    Module-level so tests can monkeypatch in an interpret-mode wrapper."""
     from .ops import pairhmm_pallas
 
-    return _scaled_stacked_jit(pairhmm_pallas.pairhmm_raw_pallas_scaled)(*args)
+    return pairhmm_pallas.pairhmm_raw_pallas_scaled
+
+
+def _scaled_stacked(*args):
+    return _scaled_stacked_jit(_scaled_inner_fn())(*args)
+
+
+@functools.lru_cache(maxsize=8)
+def _scaled_indexed_jit(inner_fn, const_quals):
+    """Jit wrapper for the deduplicated batch (PackedPairsIndexed): unique
+    read/hap planes come in once, the cross-product lanes are expanded ON
+    DEVICE with ``jnp.take``, and constant iq/dq/gcp planes (the GATK
+    default-GOP flow) are synthesized on device — host→device traffic is
+    what the reference's JNI marshalling sends (each read and hap once,
+    JavaData.h:84-106), not the nr×nh cross product."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(hap_u, readq_u, ridx, hidx, haplen, rslen, quals_u=None):
+        read = jnp.take(readq_u[0], ridx, axis=1)
+        q = jnp.take(readq_u[1], ridx, axis=1)
+        hap = jnp.take(hap_u, hidx, axis=1)
+        if const_quals is not None:
+            iq = jnp.full_like(read, const_quals[0])
+            dq = jnp.full_like(read, const_quals[1])
+            gcp = jnp.full_like(read, const_quals[2])
+        else:
+            iq = jnp.take(quals_u[0], ridx, axis=1)
+            dq = jnp.take(quals_u[1], ridx, axis=1)
+            gcp = jnp.take(quals_u[2], ridx, axis=1)
+        m, e, fl = inner_fn(hap, read, q, iq, dq, gcp, haplen, rslen,
+                            lane_block=128)
+        return jnp.stack([m, e.astype(jnp.float32), fl.astype(jnp.float32)])
+
+    return f
+
+
+def _const_quals_of(reads: Sequence["ReadData"]):
+    """(iq, dq, gcp) constants when every read's planes are uniform (the
+    GATK default-GOP flow), else None.  Deduplicates by object identity
+    first — the pipeline shares one cached plane per length — so the scan
+    is O(unique planes), not O(reads)."""
+    first = reads[0]
+    if len(first.insertion_gop) == 0:
+        return None
+    c = (int(first.insertion_gop[0]), int(first.deletion_gop[0]),
+         int(first.overall_gcp[0]))
+    seen: set = set()
+    for rd in reads:
+        for plane, cv in ((rd.insertion_gop, c[0]), (rd.deletion_gop, c[1]),
+                          (rd.overall_gcp, c[2])):
+            key = (id(plane), cv)  # an object may serve several roles
+            if key in seen:
+                continue
+            seen.add(key)
+            if plane[0] != cv or not (plane == cv).all():
+                return None
+    return c
 
 
 class PairHMM:
@@ -293,6 +353,41 @@ class PairHMM:
                 start()
         return handles
 
+    def _forward_scaled_dispatch_indexed(self, pk: batch_mod.PackedPairsIndexed):
+        """Async-dispatch the scaled kernel on a deduplicated batch (lanes
+        expanded on device).  None when the fast path does not apply — the
+        caller materializes and takes the dense route."""
+        H, R = pk.hap_u.shape[0], pk.readq_u.shape[1]
+        if not (self._use_pallas(H) and R % 8 == 0):
+            return None
+        if self.mesh is not None:
+            from . import parallel
+
+            P = len(pk.ridx)
+            if (pk.pattern_nh is None
+                    or parallel.is_multiprocess(self.mesh)
+                    or pk.readq_u.shape[2] % self.mesh.size
+                    or P % (128 * self.mesh.size)):
+                return None
+            with self.mesh:
+                handles = parallel.pairhmm_scaled_indexed_sharded(
+                    self.mesh, pk)
+            start = getattr(handles, "copy_to_host_async", None)
+            if start is not None:
+                start()
+            return handles
+        f = _scaled_indexed_jit(_scaled_inner_fn(), pk.const_quals)
+        if pk.const_quals is None:
+            handles = f(pk.hap_u, pk.readq_u, pk.ridx, pk.hidx,
+                        pk.haplen, pk.rslen, pk.quals_u)
+        else:
+            handles = f(pk.hap_u, pk.readq_u, pk.ridx, pk.hidx,
+                        pk.haplen, pk.rslen)
+        start = getattr(handles, "copy_to_host_async", None)
+        if start is not None:
+            start()
+        return handles
+
     def _forward_scaled(self, packed: batch_mod.PackedPairs):
         """One-pass f32 forward via the scaled kernel.
 
@@ -378,6 +473,69 @@ class PairHMM:
         for hp in haplotypes:
             if hp.haplotype_bases is None or len(hp.haplotype_bases) == 0:
                 raise ValueError("haplotype bases are null or empty")
+        nr, nh = len(reads), len(haplotypes)
+        n = nr * nh
+        from . import profiling
+
+        t0 = time.perf_counter() if profiling.metrics_enabled() else 0.0
+        rlens = [len(rd.read_bases) for rd in reads]
+        hlens = [len(hp.haplotype_bases) for hp in haplotypes]
+        # Σ_pairs len_r·len_h over the full cross product
+        cells = sum(rlens) * sum(hlens)
+
+        single_process_mesh = False
+        if self.mesh is not None:
+            from . import parallel
+
+            single_process_mesh = not parallel.is_multiprocess(self.mesh)
+        if (not self.args.use_double_precision and self._use_pallas(0)
+                and (self.mesh is None or single_process_mesh)):
+            # deduplicated marshalling: group reads and haps by their OWN
+            # length buckets (each read-group × hap-group pair is one shape
+            # class), upload unique planes once, expand lanes on device
+            const_quals = _const_quals_of(reads)
+            rgroups: dict = {}
+            for i, ln in enumerate(rlens):
+                rgroups.setdefault(batch_mod.bucket_length(ln), []).append(i)
+            hgroups: dict = {}
+            for j, ln in enumerate(hlens):
+                hgroups.setdefault(batch_mod.bucket_length(ln), []).append(j)
+            work = []
+            for rids in rgroups.values():
+                rq = [(reads[i].read_quals, reads[i].insertion_gop,
+                       reads[i].deletion_gop, reads[i].overall_gcp)
+                      for i in rids]
+                rbases = [reads[i].read_bases for i in rids]
+                for hids in hgroups.values():
+                    # on a mesh, the full-pattern layout lets unique reads
+                    # shard with the same cuts as pair lanes — only usable
+                    # when the group's nh divides the padded lane count
+                    lm = self._lane_multiple or batch_mod.default_lane_multiple()
+                    Pg = batch_mod.bucket_lanes(len(rids) * len(hids), lm)
+                    full_pattern = (single_process_mesh
+                                    and Pg % len(hids) == 0
+                                    and (Pg // len(hids)) % self.mesh.size == 0)
+                    pk = batch_mod.pack_pairs_indexed(
+                        [haplotypes[j].haplotype_bases for j in hids],
+                        rbases, rq,
+                        lane_multiple=self._lane_multiple,
+                        const_quals=const_quals,
+                        full_pattern=full_pattern,
+                    )
+                    idxs = (np.asarray(rids, np.int64)[:, None] * nh
+                            + np.asarray(hids, np.int64)[None, :]).ravel()
+                    handles = self._forward_scaled_dispatch_indexed(pk)
+                    if handles is not None:
+                        work.append(("scaled", idxs, pk, handles))
+                        continue
+                    dense = pk.materialize()
+                    handles = self._forward_scaled_dispatch(dense)
+                    if handles is not None:
+                        work.append(("scaled", idxs, dense, handles))
+                    else:
+                        work.append(("f32", idxs, dense, None))
+            return PendingLikelihoods(self, n, work, t0, cells)
+
         pairs_read = []
         pairs_hap = []
         quals = []
@@ -387,11 +545,6 @@ class PairHMM:
                 pairs_hap.append(hp.haplotype_bases)
                 quals.append((rd.read_quals, rd.insertion_gop, rd.deletion_gop, rd.overall_gcp))
 
-        n = len(pairs_read)
-        from . import profiling
-
-        t0 = time.perf_counter() if profiling.metrics_enabled() else 0.0
-        cells = sum(len(r) * len(h) for r, h in zip(pairs_read, pairs_hap))
         groups = batch_mod.group_by_bucket(pairs_hap, pairs_read)
         work = []
         for idxs in groups.values():
@@ -464,6 +617,8 @@ class PendingLikelihoods:
                 if np.any(needs_rescue):
                     # reference-exact f64 for lanes in the f64-subnormal
                     # parity zone, or whenever the fast path is unavailable
+                    if isinstance(packed, batch_mod.PackedPairsIndexed):
+                        packed = packed.materialize()
                     raw64 = hmm._raw_batch(packed, "float64")
                     res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
                     res = np.where(needs_rescue, res64, res)

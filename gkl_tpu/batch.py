@@ -101,6 +101,120 @@ def pack_pairs(
     return PackedPairs(hap, read, q, iq, dq, gcp, haplen, rslen, n)
 
 
+@dataclasses.dataclass
+class PackedPairsIndexed:
+    """Cross-product batch with deduplicated planes + per-pair indices.
+
+    The reference marshals each read and each haplotype ONCE and loops the
+    cross product in the native kernel (pairhmm/JavaData.h:84-106 builds
+    testcases as index pairs into the marshalled arrays).  The TPU-native
+    analogue: upload unique (len, lane) planes plus two small int32 index
+    vectors, and expand lanes on device with ``jnp.take`` — host→device
+    bytes drop from ``(H + 5R)·nr·nh`` to ``5R·nr + H·nh``, which is what
+    the (tunnel/PCIe) link actually charges for.  When every read shares
+    constant insertion/deletion GOP and GCP planes (the GATK default-GOP
+    flow), those three planes are synthesized on device and upload drops
+    to ``2R·nr``.
+    """
+
+    hap_u: np.ndarray  # (H, nu_h) uint8 — unique haplotype columns
+    readq_u: np.ndarray  # (2, R, nu_r) uint8 — [bases, quals] per unique read
+    quals_u: np.ndarray | None  # (3, R, nu_r) uint8 [iq, dq, gcp]; None = const
+    const_quals: tuple[int, int, int] | None  # (iq, dq, gcp) when constant
+    ridx: np.ndarray  # (P,) int32 — pair lane -> unique read column
+    hidx: np.ndarray  # (P,) int32 — pair lane -> unique hap column
+    haplen: np.ndarray  # (P,) int32
+    rslen: np.ndarray  # (P,) int32
+    n_real: int
+    # full-pattern mode: ridx == arange(P)//nh and hidx == arange(P)%nh for
+    # EVERY lane (pads included) and the read planes pad to P//nh columns —
+    # the property that lets a dp mesh shard unique reads and pair lanes
+    # with the SAME cuts (each device's pairs reference only its own
+    # reads).  None = compact padding (single-device layout).
+    pattern_nh: int | None = None
+
+    def materialize(self) -> PackedPairs:
+        """Expand to the dense per-pair representation (host-side) — used by
+        the f64 rescue and any engine that wants full planes."""
+        hap = np.take(self.hap_u, self.hidx, axis=1)
+        read = np.take(self.readq_u[0], self.ridx, axis=1)
+        q = np.take(self.readq_u[1], self.ridx, axis=1)
+        if self.const_quals is not None:
+            iq = np.full_like(read, self.const_quals[0])
+            dq = np.full_like(read, self.const_quals[1])
+            gcp = np.full_like(read, self.const_quals[2])
+        else:
+            iq = np.take(self.quals_u[0], self.ridx, axis=1)
+            dq = np.take(self.quals_u[1], self.ridx, axis=1)
+            gcp = np.take(self.quals_u[2], self.ridx, axis=1)
+        return PackedPairs(hap, read, q, iq, dq, gcp, self.haplen,
+                           self.rslen, self.n_real)
+
+
+def pack_pairs_indexed(
+    haps: Sequence[np.ndarray],
+    reads: Sequence[np.ndarray],
+    read_quals: Sequence[tuple],
+    *,
+    lane_multiple: int | None = None,
+    qual_fill: int = 40,
+    const_quals: tuple[int, int, int] | None = None,
+    full_pattern: bool = False,
+) -> PackedPairsIndexed:
+    """Pack the full ``reads`` × ``haps`` cross product (read-major) with
+    deduplicated planes.  ``read_quals`` holds (q, iq, dq, gcp) per read —
+    iq/dq/gcp are ignored when ``const_quals`` is given.  ``full_pattern``
+    pads the read planes to P//nh columns so every lane (pads included)
+    follows ridx = lane//nh, hidx = lane%nh — see PackedPairsIndexed."""
+    if lane_multiple is None:
+        lane_multiple = default_lane_multiple()
+    nr, nh = len(reads), len(haps)
+    H = bucket_length(max(len(h) for h in haps))
+    R = bucket_length(max(len(r) for r in reads))
+    # unique-plane lane padding only needs the sublane multiple (8); the
+    # kernel sees the post-gather (R, P) arrays, which use lane_multiple
+    nu_r = bucket_lanes(nr, 8)
+    nu_h = bucket_lanes(nh, 8)
+    if full_pattern:
+        Pf = bucket_lanes(nr * nh, lane_multiple)
+        if Pf % nh:
+            raise ValueError("full_pattern needs nh | padded lane count")
+        nu_r = Pf // nh
+
+    readq_u = np.stack([
+        _pad_columns(reads, R, nu_r, 0),
+        _pad_columns([qs[0] for qs in read_quals], R, nu_r, qual_fill),
+    ])
+    quals_u = None
+    if const_quals is None:
+        quals_u = np.stack([
+            _pad_columns([qs[1] for qs in read_quals], R, nu_r, qual_fill),
+            _pad_columns([qs[2] for qs in read_quals], R, nu_r, qual_fill),
+            _pad_columns([qs[3] for qs in read_quals], R, nu_r, qual_fill),
+        ])
+    hap_u = _pad_columns(haps, H, nu_h, 0)
+
+    n = nr * nh
+    P = bucket_lanes(n, lane_multiple)
+    if full_pattern:
+        ridx = (np.arange(P, dtype=np.int32) // nh)
+        hidx = (np.arange(P, dtype=np.int32) % nh)
+    else:
+        ridx = np.zeros(P, np.int32)
+        hidx = np.zeros(P, np.int32)
+        ridx[:n] = np.repeat(np.arange(nr, dtype=np.int32), nh)
+        hidx[:n] = np.tile(np.arange(nh, dtype=np.int32), nr)
+    rlen = np.array([len(r) for r in reads], np.int32)
+    hlen = np.array([len(h) for h in haps], np.int32)
+    haplen = np.ones(P, np.int32)
+    rslen = np.ones(P, np.int32)
+    haplen[:n] = hlen[hidx[:n]]
+    rslen[:n] = rlen[ridx[:n]]
+    return PackedPairsIndexed(hap_u, readq_u, quals_u, const_quals,
+                              ridx, hidx, haplen, rslen, n,
+                              pattern_nh=nh if full_pattern else None)
+
+
 def group_by_bucket(haps: Sequence[np.ndarray], reads: Sequence[np.ndarray]):
     """Group pair indices by (R-bucket, H-bucket) shape class."""
     groups: dict[tuple[int, int], list[int]] = {}

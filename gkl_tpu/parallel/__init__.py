@@ -22,6 +22,7 @@ from .mesh import (
     is_multiprocess,
     replicate_to_host,
     pairhmm_raw_pallas_scaled_sharded,
+    pairhmm_scaled_indexed_sharded,
     pairhmm_raw_pallas_sharded,
     pairhmm_raw_pallas_cols_sharded,
     pairhmm_raw_sharded,
@@ -47,6 +48,7 @@ __all__ = [
     "replicate_to_host",
     "sw_forward_global",
     "pairhmm_raw_pallas_scaled_sharded",
+    "pairhmm_scaled_indexed_sharded",
     "pairhmm_raw_pallas_sharded",
     "pairhmm_raw_pallas_cols_sharded",
     "pairhmm_raw_sharded",

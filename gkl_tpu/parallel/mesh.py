@@ -196,6 +196,72 @@ def pairhmm_raw_pallas_scaled_sharded(mesh: Mesh, packed, *,
     return _run_pairhmm_sharded(mesh, packed, "scaled", lane_block, interpret)
 
 
+@functools.lru_cache(maxsize=64)
+def _pairhmm_indexed_sharded_fn(mesh: Mesh, const_quals, lane_block: int,
+                                interpret: bool):
+    """Cached jit(shard_map) for the deduplicated batch on a single-process
+    dp mesh.  Requires the full-pattern layout (batch.PackedPairsIndexed
+    with ``pattern_nh`` set): unique read planes shard with the SAME cuts
+    as the pair lanes, so each device's pairs reference only its own read
+    slab — zero collectives, and each unique read crosses the host link
+    once (the link-aware marshalling of docs/DESIGN.md 'Host link rules'
+    applied to the mesh path)."""
+    import jax.numpy as jnp
+
+    from ..ops import pairhmm_pallas
+
+    inner = functools.partial(pairhmm_pallas.pairhmm_raw_pallas_scaled,
+                              lane_block=lane_block, interpret=interpret)
+
+    def local(hap_u, readq_u, ridx, hidx, haplen, rslen, *rest):
+        # rebase global read indices onto this shard's read slab
+        shard = jax.lax.axis_index("dp")
+        ridx_l = ridx - shard * readq_u.shape[2]
+        read = jnp.take(readq_u[0], ridx_l, axis=1)
+        q = jnp.take(readq_u[1], ridx_l, axis=1)
+        hap = jnp.take(hap_u, hidx, axis=1)  # haps replicate (tiny)
+        if const_quals is not None:
+            iq = jnp.full_like(read, const_quals[0])
+            dq = jnp.full_like(read, const_quals[1])
+            gcp = jnp.full_like(read, const_quals[2])
+        else:
+            iq = jnp.take(rest[0][0], ridx_l, axis=1)
+            dq = jnp.take(rest[0][1], ridx_l, axis=1)
+            gcp = jnp.take(rest[0][2], ridx_l, axis=1)
+        m, e, fl = inner(hap, read, q, iq, dq, gcp, haplen, rslen)
+        return jnp.stack([m, e.astype(jnp.float32), fl.astype(jnp.float32)])
+
+    rep = P()
+    planes = P(None, None, "dp")
+    vec = P("dp")
+    in_specs = (rep, planes, vec, vec, vec, vec)
+    if const_quals is None:
+        in_specs = in_specs + (planes,)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=P(None, "dp"), check_vma=False)
+    rs = NamedSharding(mesh, rep)
+    ps = NamedSharding(mesh, planes)
+    vs = vec_sharding(mesh)
+    in_sh = (rs, ps, vs, vs, vs, vs) + ((ps,) if const_quals is None else ())
+    return jax.jit(fn, in_shardings=in_sh)
+
+
+def pairhmm_scaled_indexed_sharded(mesh: Mesh, pk, *, lane_block: int = 128,
+                                   interpret: bool = False):
+    """Scaled PairHMM forward over a PackedPairsIndexed batch on a
+    single-process dp mesh; returns the stacked (3, P) device array.
+    Needs ``pk.pattern_nh`` (full-pattern layout), read columns divisible
+    by the mesh and local pair lanes divisible by ``lane_block``."""
+    if pk.pattern_nh is None:
+        raise ValueError("indexed sharding needs full_pattern packing")
+    fn = _pairhmm_indexed_sharded_fn(mesh, pk.const_quals, lane_block,
+                                     interpret)
+    args = (pk.hap_u, pk.readq_u, pk.ridx, pk.hidx, pk.haplen, pk.rslen)
+    if pk.const_quals is None:
+        args = args + (pk.quals_u,)
+    return fn(*args)
+
+
 def pairhmm_raw_pallas_cols_sharded(mesh: Mesh, packed, *,
                                     lane_block: int = 128,
                                     interpret: bool = False):

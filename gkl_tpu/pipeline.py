@@ -167,9 +167,12 @@ def pairhmm_stream(
             profiling.METRICS.record("pipeline_dispatch", items=len(reads),
                                      seconds=time.perf_counter() - t0)
         pending.append(([r.name for r in records], len(reads), handle))
-        # resolve one chunk behind: the popped chunk's device work overlaps
-        # the just-dispatched chunk's kernels and the producer's decode
-        while len(pending) > 1:
+        # resolve two chunks behind: chunk N dispatches while N-1's
+        # upload/compute and N-2's result readback are both still in
+        # flight — one-behind left the head blocked on the previous
+        # chunk's full round trip (the link is latency-, not
+        # bandwidth-dominated at these sizes)
+        while len(pending) > 2:
             yield resolve(pending.popleft())
     while pending:
         yield resolve(pending.popleft())

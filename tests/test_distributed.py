@@ -322,3 +322,40 @@ def test_api_mesh_deep_lane_rescue_policies(monkeypatch):
                                    err_msg=policy)
         np.testing.assert_allclose(with_mesh, f64, rtol=0, atol=tol,
                                    err_msg=policy)
+
+
+def test_indexed_sharded_bit_parity():
+    """The deduplicated (device-expanded) batch under the dp mesh matches
+    the unsharded scaled kernel bit-for-bit: the full-pattern layout
+    shards unique reads and pair lanes with the same cuts, so per-shard
+    inputs are identical to the dense path's."""
+    from gkl_tpu import batch as batch_mod
+    from gkl_tpu.ops import pairhmm_pallas
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    haps = [bases[rng.integers(0, 4, 24)] for _ in range(2)]
+    reads = [bases[rng.integers(0, 4, 16)] for _ in range(32)]
+    rquals = [(rng.integers(20, 40, 16).astype(np.uint8),
+               rng.integers(30, 45, 16).astype(np.uint8),
+               rng.integers(30, 45, 16).astype(np.uint8),
+               np.full(16, 10, np.uint8)) for _ in range(32)]
+    mesh = parallel.data_parallel_mesh(8)
+    for const in (None, (45, 45, 10)):
+        pk = batch_mod.pack_pairs_indexed(haps, reads, rquals,
+                                          lane_multiple=8 * mesh.size,
+                                          const_quals=const,
+                                          full_pattern=True)
+        assert pk.pattern_nh == 2 and pk.readq_u.shape[2] % mesh.size == 0
+        with mesh:
+            stacked = np.asarray(parallel.pairhmm_scaled_indexed_sharded(
+                mesh, pk, lane_block=8, interpret=True))
+        dense = pk.materialize()
+        m2, e2, f2 = pairhmm_pallas.pairhmm_raw_pallas_scaled(
+            dense.hap, dense.read, dense.q, dense.iq, dense.dq, dense.gcp,
+            dense.haplen, dense.rslen, lane_block=8, interpret=True)
+        np.testing.assert_array_equal(stacked[0], np.asarray(m2))
+        np.testing.assert_array_equal(stacked[1],
+                                      np.asarray(e2).astype(np.float32))
+        np.testing.assert_array_equal(stacked[2],
+                                      np.asarray(f2).astype(np.float32))

@@ -94,3 +94,89 @@ def test_async_dispatch_matches_sync():
     np.testing.assert_array_equal(got, sync)
     # resolving twice returns the same array
     np.testing.assert_array_equal(p1.result(), a1)
+
+
+def test_pack_pairs_indexed_matches_dense():
+    """PackedPairsIndexed.materialize() reproduces pack_pairs bit-for-bit on
+    the real lanes (pad lanes differ by design: indexed pad lanes alias
+    column 0 instead of holding fill)."""
+    import golden
+    from gkl_tpu import batch as batch_mod
+
+    cases = golden.load_pairhmm_cases()[:9]
+    reads = [c.read for c in cases]
+    rquals = [(c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [c.hap for c in cases[:4]]
+    pk = batch_mod.pack_pairs_indexed(haps, reads, rquals, lane_multiple=8)
+    dense = batch_mod.pack_pairs(
+        [h for _ in reads for h in haps],
+        [r for r in reads for _ in haps],
+        [qs for qs in rquals for _ in haps],
+        lane_multiple=8,
+    )
+    got = pk.materialize()
+    n = pk.n_real
+    assert n == dense.n_real == len(reads) * len(haps)
+    for field in ("hap", "read", "q", "iq", "dq", "gcp"):
+        np.testing.assert_array_equal(getattr(got, field)[:, :n],
+                                      getattr(dense, field)[:, :n])
+    np.testing.assert_array_equal(got.haplen[:n], dense.haplen[:n])
+    np.testing.assert_array_equal(got.rslen[:n], dense.rslen[:n])
+
+
+def test_const_quals_detection():
+    from gkl_tpu import api
+
+    n = 24
+    mk = lambda v: np.full(n, v, np.uint8)  # noqa: E731
+    seq = np.full(n, 65, np.uint8)
+    const_reads = [ReadData(seq, mk(30), mk(45), mk(45), mk(10))
+                   for _ in range(5)]
+    assert api._const_quals_of(const_reads) == (45, 45, 10)
+    varied = const_reads + [ReadData(seq, mk(30), mk(45), mk(44), mk(10))]
+    assert api._const_quals_of(varied) is None
+    ragged = const_reads[:2]
+    ragged[1].deletion_gop[7] = 9  # non-uniform within one plane
+    assert api._const_quals_of(ragged) is None
+
+
+def test_indexed_scaled_path_matches_dense_engine(monkeypatch):
+    """The deduplicated device-expanded path (indexed packing + scaled
+    kernel in interpret mode) agrees with the plain engine across mixed
+    length buckets, with and without constant GOP planes."""
+    import golden
+    from gkl_tpu import api
+    from gkl_tpu.ops import pairhmm_pallas
+
+    def interp_scaled(*args, lane_block=128, **kw):
+        return pairhmm_pallas.pairhmm_raw_pallas_scaled(
+            *args, lane_block=8, interpret=True)
+
+    cases = golden.load_pairhmm_cases()[:10]
+    reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [HaplotypeData(c.hap) for c in cases[:5]]
+    expected = PairHMM().compute_likelihoods(reads, haps)
+
+    monkeypatch.setattr(api, "_scaled_inner_fn", lambda: interp_scaled)
+    monkeypatch.setattr(PairHMM, "_use_pallas",
+                        classmethod(lambda cls, hap_len=0: True))
+    hmm = PairHMM()
+    pending = hmm.compute_likelihoods_async(reads, haps)
+    kinds = {w[0] for w in pending._work}
+    assert kinds == {"scaled"}  # the indexed fast path actually ran
+    got = pending.result()
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    # constant-GOP flow: shared planes per length, detected automatically
+    gop = {len(c.read): np.full(len(c.read), 45, np.uint8) for c in cases}
+    gcp = {len(c.read): np.full(len(c.read), 10, np.uint8) for c in cases}
+    creads = [ReadData(c.read, c.q, gop[len(c.read)], gop[len(c.read)],
+                       gcp[len(c.read)]) for c in cases]
+    assert api._const_quals_of(creads) == (45, 45, 10)
+    pending = hmm.compute_likelihoods_async(creads, haps)
+    assert {w[0] for w in pending._work} == {"scaled"}
+    assert all(w[2].const_quals == (45, 45, 10) for w in pending._work)
+    got_c = pending.result()
+    monkeypatch.undo()
+    expected_c = PairHMM().compute_likelihoods(creads, haps)
+    np.testing.assert_allclose(got_c, expected_c, atol=1e-4)

@@ -238,3 +238,22 @@ def test_streaming_writer_recompress_roundtrip(tmp_path):
         sizes = [len(bgzf.decompress_block(b)) for b in blocks]
         assert sizes[-1] == 0  # EOF marker
         assert all(s == bgzf.MAX_BLOCK_DATA for s in sizes[:-2]), sizes[:8]
+
+
+def test_reads_from_records_share_const_planes():
+    """The pipeline's ReadData construction must keep GOP/GCP planes
+    identity-shared per length so api._const_quals_of detects the
+    constant-plane flow in O(unique planes) and the device synthesizes
+    them (docs/DESIGN.md 'Host link rules')."""
+    from gkl_tpu import api
+
+    _, records = bam_mod.read_bam(BAM, limit=32)
+    reads = pipeline.reads_from_records(records)
+    by_len = {}
+    for rd in reads:
+        n = len(rd.read_bases)
+        assert rd.insertion_gop is rd.deletion_gop
+        if n in by_len:
+            assert rd.insertion_gop is by_len[n]
+        by_len[n] = rd.insertion_gop
+    assert api._const_quals_of(reads) == (45, 45, 10)
