@@ -365,7 +365,6 @@ class PairHMM:
 
             P = len(pk.ridx)
             if (pk.pattern_nh is None
-                    or parallel.is_multiprocess(self.mesh)
                     or pk.readq_u.shape[2] % self.mesh.size
                     or P % (128 * self.mesh.size)):
                 return None
@@ -483,13 +482,7 @@ class PairHMM:
         # Σ_pairs len_r·len_h over the full cross product
         cells = sum(rlens) * sum(hlens)
 
-        single_process_mesh = False
-        if self.mesh is not None:
-            from . import parallel
-
-            single_process_mesh = not parallel.is_multiprocess(self.mesh)
-        if (not self.args.use_double_precision and self._use_pallas(0)
-                and (self.mesh is None or single_process_mesh)):
+        if not self.args.use_double_precision and self._use_pallas(0):
             # deduplicated marshalling: group reads and haps by their OWN
             # length buckets (each read-group × hap-group pair is one shape
             # class), upload unique planes once, expand lanes on device
@@ -510,9 +503,12 @@ class PairHMM:
                     # on a mesh, the full-pattern layout lets unique reads
                     # shard with the same cuts as pair lanes — only usable
                     # when the group's nh divides the padded lane count
+                    # (multi-process meshes included: every host packs the
+                    # same full batch and feeds its own read slab,
+                    # parallel.pairhmm_scaled_indexed_sharded)
                     lm = self._lane_multiple or batch_mod.default_lane_multiple()
                     Pg = batch_mod.bucket_lanes(len(rids) * len(hids), lm)
-                    full_pattern = (single_process_mesh
+                    full_pattern = (self.mesh is not None
                                     and Pg % len(hids) == 0
                                     and (Pg // len(hids)) % self.mesh.size == 0)
                     pk = batch_mod.pack_pairs_indexed(

@@ -88,6 +88,21 @@ def make_global_array(host_shard: np.ndarray, mesh, axis: int = -1):
     return jax.make_array_from_single_device_arrays(tuple(global_shape), sharding, shards)
 
 
+def make_replicated_array(value: np.ndarray, mesh) -> "jax.Array":
+    """Assemble a fully-replicated global jax.Array from a host-local value
+    every process holds identically (e.g. the unique-haplotype planes of an
+    indexed batch: tiny next to the read planes, so replication is the
+    right sharding — SURVEY.md §2.8's gather-at-end logic in reverse)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    value = np.asarray(value)
+    me = jax.process_index()
+    shards = [jax.device_put(value, d)
+              for d in mesh.devices.flat if d.process_index == me]
+    return jax.make_array_from_single_device_arrays(
+        value.shape, NamedSharding(mesh, P()), shards)
+
+
 def _fetch_local(arr, axis: int = 0) -> np.ndarray:
     """This process's addressable shards of a dp-sharded global array,
     concatenated in lane order along ``axis``."""

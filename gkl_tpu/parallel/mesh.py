@@ -248,14 +248,35 @@ def _pairhmm_indexed_sharded_fn(mesh: Mesh, const_quals, lane_block: int,
 
 def pairhmm_scaled_indexed_sharded(mesh: Mesh, pk, *, lane_block: int = 128,
                                    interpret: bool = False):
-    """Scaled PairHMM forward over a PackedPairsIndexed batch on a
-    single-process dp mesh; returns the stacked (3, P) device array.
-    Needs ``pk.pattern_nh`` (full-pattern layout), read columns divisible
-    by the mesh and local pair lanes divisible by ``lane_block``."""
+    """Scaled PairHMM forward over a PackedPairsIndexed batch on a dp mesh;
+    returns the stacked (3, P) result (a device array single-process, a
+    replicated host array multi-process).  Needs ``pk.pattern_nh``
+    (full-pattern layout), read columns divisible by the mesh and local
+    pair lanes divisible by ``lane_block``.
+
+    Multi-process: every host packs the SAME full batch; the haplotype
+    planes replicate (tiny), and each host feeds only ITS slab of the
+    unique-read planes and pair lanes — each unique read crosses its own
+    host's link exactly once, the pod form of the link-budget marshalling
+    (docs/DESIGN.md 'Host link rules')."""
     if pk.pattern_nh is None:
         raise ValueError("indexed sharding needs full_pattern packing")
     fn = _pairhmm_indexed_sharded_fn(mesh, pk.const_quals, lane_block,
                                      interpret)
+    if is_multiprocess(mesh):
+        from .distributed import make_replicated_array
+
+        args = (
+            make_replicated_array(pk.hap_u, mesh),
+            _feed_global(mesh, pk.readq_u, -1),
+            _feed_global(mesh, pk.ridx, 0),
+            _feed_global(mesh, pk.hidx, 0),
+            _feed_global(mesh, pk.haplen, 0),
+            _feed_global(mesh, pk.rslen, 0),
+        )
+        if pk.const_quals is None:
+            args = args + (_feed_global(mesh, pk.quals_u, -1),)
+        return replicate_to_host(fn(*args), mesh)
     args = (pk.hap_u, pk.readq_u, pk.ridx, pk.hidx, pk.haplen, pk.rslen)
     if pk.const_quals is None:
         args = args + (pk.quals_u,)

@@ -80,6 +80,36 @@ def main():
     assert np.array_equal(flag_l, flag_r), "scaled flag mismatch"
     print("SCALED_BITPARITY ok")
 
+    # --- deduplicated (indexed) marshalling across processes: haplotype
+    # planes replicate, each host feeds only ITS slab of the unique-read
+    # planes; result must be bit-identical to the unsharded scaled kernel
+    # on the materialized dense batch
+    from gkl_tpu import batch as batch_mod
+
+    rng3 = np.random.default_rng(11)
+    haps_u = [bases[rng3.integers(0, 4, 24)] for _ in range(4)]
+    reads_u = [bases[rng3.integers(0, 4, 16)] for _ in range(16)]
+    rquals_u = [(rng3.integers(20, 40, 16).astype(np.uint8),
+                 rng3.integers(30, 45, 16).astype(np.uint8),
+                 rng3.integers(30, 45, 16).astype(np.uint8),
+                 np.full(16, 10, np.uint8)) for _ in range(16)]
+    for const in (None, (45, 45, 10)):
+        pk = batch_mod.pack_pairs_indexed(
+            haps_u, reads_u, rquals_u, lane_multiple=8 * len(jax.devices()),
+            const_quals=const, full_pattern=True)
+        stacked = parallel.pairhmm_scaled_indexed_sharded(
+            mesh, pk, lane_block=8, interpret=True)
+        dense = pk.materialize()
+        m_r, e_r, f_r = pairhmm_pallas.pairhmm_raw_pallas_scaled(
+            dense.hap, dense.read, dense.q, dense.iq, dense.dq, dense.gcp,
+            dense.haplen, dense.rslen, lane_block=8, interpret=True)
+        assert np.array_equal(stacked[0], np.asarray(m_r)), "indexed mant"
+        assert np.array_equal(stacked[1],
+                              np.asarray(e_r).astype(np.float32)), "indexed exp"
+        assert np.array_equal(stacked[2],
+                              np.asarray(f_r).astype(np.float32)), "indexed flag"
+    print("INDEXED_BITPARITY ok")
+
     rows_l = parallel.pairhmm_raw_global(mesh, local, engine="pallas",
                                          lane_block=8, interpret=True)
     rows_r = np.asarray(pairhmm_pallas.pairhmm_raw_pallas(

@@ -63,6 +63,7 @@ def test_two_process_pairhmm_global():
         # the production path: Pallas kernels ran per shard across the two
         # processes with bit-parity (worker asserts, markers prove it ran)
         for marker in ("SCALED_BITPARITY ok", "ROWS_BITPARITY ok",
+                       "INDEXED_BITPARITY ok",
                        "PDHMM_BITPARITY ok", "SW_BITPARITY ok",
                        "API_GLOBAL ok"):
             assert marker in out, (marker, out)
