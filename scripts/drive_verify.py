@@ -30,6 +30,36 @@ err = np.max(np.abs(got - exp))
 print("pairhmm golden max err:", err, flush=True)
 assert err < 1e-5, (got, exp)
 
+# constant-GOP flow (the BAM pipeline's path): identity-shared planes per
+# length trigger _const_quals_of, and the device SYNTHESIZES iq/dq/gcp
+# instead of uploading them — must match the per-read-planes path exactly
+gop = {n: np.full(n, 45, np.uint8) for n in {len(c.read) for c in cases}}
+gcp = {n: np.full(n, 10, np.uint8) for n in {len(c.read) for c in cases}}
+creads_shared = [ReadData(c.read, c.q, gop[len(c.read)], gop[len(c.read)],
+                          gcp[len(c.read)]) for c in cases]
+creads_owned = [ReadData(c.read, c.q, gop[len(c.read)].copy(),
+                         gop[len(c.read)].copy(), gcp[len(c.read)].copy())
+                for c in cases]
+hps = [HaplotypeData(c.hap) for c in cases]
+out_shared = np.asarray(hmm.compute_likelihoods(creads_shared, hps))
+out_owned = np.asarray(hmm.compute_likelihoods(creads_owned, hps))
+assert np.array_equal(out_shared, out_owned), "const-plane synthesis drift"
+print("const-GOP device synthesis == per-read planes", flush=True)
+
+import jax as _jax  # noqa: E402
+
+if _jax.default_backend() == "tpu":
+    from gkl_tpu import parallel as _parallel  # noqa: E402
+
+    mesh1 = _parallel.data_parallel_mesh(1)
+    hmm_mesh = PairHMM(mesh=mesh1)
+    out_mesh = np.asarray(hmm_mesh.compute_likelihoods(
+        [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases], hps))
+    out_plain = np.asarray(hmm.compute_likelihoods(
+        [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases], hps))
+    assert np.allclose(out_mesh, out_plain, atol=5e-5), "mesh path drift"
+    print("mesh(1) sharded path == unsharded", flush=True)
+
 from gkl_tpu.api_pdhmm import PDHMM  # noqa: E402
 
 pd_cases = golden.load_pdhmm_cases("pdhmm_syn_199_68_51.txt")[:16]
