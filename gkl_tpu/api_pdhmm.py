@@ -13,6 +13,7 @@ Two compute paths like the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence
 
 import numpy as np
@@ -22,6 +23,40 @@ from . import utils
 from .api import HaplotypeData, ReadData
 from .context import MIN_ACCEPTED
 from .ops import pdhmm as pdhmm_ops
+
+
+def _pdhmm_indexed_inner(kernel: str):
+    """The Pallas kernel for the deduplicated-batch jit wrapper.
+    Module-level so tests can monkeypatch in an interpret-mode wrapper."""
+    from .ops import pdhmm_pallas as _pp
+
+    return (_pp.pdhmm_raw_pallas if kernel == "single"
+            else _pp.pdhmm_raw_pallas_chunked)
+
+
+@functools.lru_cache(maxsize=8)
+def _pdhmm_indexed_jit(inner_fn):
+    """Jit wrapper for a PackedPDHMMIndexed batch: unique hap/read planes
+    come in once, lanes expand ON DEVICE with ``jnp.take`` — host→device
+    traffic is what the reference's JNI marshalling sends (each read and
+    hap once, pdhmm/JavaData.h:186-236), not the cross product."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(hap_u, happd_u, states_u, readq_u, ridx, hidx, haplen, rslen):
+        hap = jnp.take(hap_u, hidx, axis=1)
+        hap_pd = jnp.take(happd_u, hidx, axis=1)
+        states = jnp.take(states_u, hidx, axis=1)
+        read = jnp.take(readq_u[0], ridx, axis=1)
+        q = jnp.take(readq_u[1], ridx, axis=1)
+        iq = jnp.take(readq_u[2], ridx, axis=1)
+        dq = jnp.take(readq_u[3], ridx, axis=1)
+        gcp = jnp.take(readq_u[4], ridx, axis=1)
+        return inner_fn(hap, hap_pd, states, read, q, iq, dq, gcp,
+                        haplen, rslen)
+
+    return f
 
 
 @dataclasses.dataclass
@@ -231,6 +266,68 @@ class PDHMM:
             res = res - boost_log2 * np.log10(2.0)
         return res, raw
 
+    def _try_indexed(self, idxs, haps, hap_pds, reads, quals, lane_multiple):
+        """Deduplicated device-expanded dispatch for one lane slice
+        (docs/DESIGN.md 'Host link rules' applied to PDHMM): unique planes
+        upload once, lanes expand on device.  None when the fast path does
+        not apply — the caller packs dense."""
+        import os
+
+        from .ops import pdhmm_pallas as _pp
+
+        if (self.mesh is not None
+                or self.args.kernel_level == KernelLevel.SCALAR
+                or not utils.is_tpu_available()
+                or os.environ.get("GKL_TPU_PALLAS") == "0"):
+            return None
+        # identity dedup: the object path appends the SAME array objects
+        # for every cross-product pair (pdhmm/JavaData.h:186-236)
+        hmap: dict = {}
+        rmap: dict = {}
+        uh, uhpd, ur, urq = [], [], [], []
+        hidx, ridx = [], []
+        for i in idxs:
+            hk = (id(haps[i]), id(hap_pds[i]))
+            rk = (id(reads[i]),) + tuple(id(a) for a in quals[i])
+            if hk not in hmap:
+                hmap[hk] = len(uh)
+                uh.append(haps[i])
+                uhpd.append(hap_pds[i])
+            if rk not in rmap:
+                rmap[rk] = len(ur)
+                ur.append(reads[i])
+                urq.append(quals[i])
+            hidx.append(hmap[hk])
+            ridx.append(rmap[rk])
+        n = len(idxs)
+        if len(uh) + len(ur) > max(16, n // 2):
+            return None  # no meaningful dedup — dense costs the same
+        H = batch_mod.bucket_length(max(len(h) for h in uh))
+        R = batch_mod.bucket_length(max(len(r) for r in ur))
+        P = batch_mod.bucket_lanes(n, lane_multiple)
+        # kernel lane-block contract: 128 on TPU (the hardware lane width),
+        # 8 under CPU interpret (tests)
+        if P % batch_mod.default_lane_multiple():
+            return None
+        if _pp.pdhmm_single_fits(H, R):
+            kernel = "single"
+        elif _pp.pdhmm_chunked_fits(H):
+            kernel = "chunked"
+        else:
+            return None
+        pk = batch_mod.pack_pdhmm_indexed(uh, uhpd, ur, urq, ridx, hidx,
+                                          lane_multiple=lane_multiple)
+        raw = np.asarray(_pdhmm_indexed_jit(_pdhmm_indexed_inner(kernel))(
+            pk.hap_u, pk.happd_u, pk.states_u, pk.readq_u,
+            pk.ridx, pk.hidx, pk.haplen, pk.rslen))
+        import gkl_tpu.context as ctx_mod
+
+        ctx = ctx_mod.pdhmm_context("float32")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            res = (np.log10(raw.astype(np.float32))
+                   - ctx.INITIAL_CONDITION_LOG10).astype(np.float64)
+        return res[:n], raw[:n]
+
     def _compute_pairs(
         self,
         haps: Sequence[np.ndarray],
@@ -308,26 +405,33 @@ class PDHMM:
         )
         for start in range(0, n, max_lanes):
             idxs = list(range(start, min(n, start + max_lanes)))
-            packed = batch_mod.pack_pairs(
-                [haps[i] for i in idxs],
-                [reads[i] for i in idxs],
-                [quals[i] for i in idxs],
-                lane_multiple=lane_multiple,
-                qual_fill=40,
-            )
-            # pack PD bytes alongside (zero-padded like JavaData.h:225-227)
-            H, P = packed.hap.shape
-            hap_pd = np.zeros((H, P), np.uint8)
-            for k, i in enumerate(idxs):
-                hap_pd[: len(hap_pds[i]), k] = hap_pds[i]
-
             dtype = self._dtype
-            res, raw = self._run_packed(
-                packed.hap, hap_pd, packed.read, packed.q, packed.iq, packed.dq,
-                packed.gcp, packed.haplen, packed.rslen, dtype,
-            )
-            res = res[: packed.n_real]
-            raw_n = raw[: packed.n_real]
+            ind = None
+            if dtype == "float32":
+                ind = self._try_indexed(idxs, haps, hap_pds, reads, quals,
+                                        lane_multiple)
+            if ind is not None:
+                res, raw_n = ind
+            else:
+                packed = batch_mod.pack_pairs(
+                    [haps[i] for i in idxs],
+                    [reads[i] for i in idxs],
+                    [quals[i] for i in idxs],
+                    lane_multiple=lane_multiple,
+                    qual_fill=40,
+                )
+                # pack PD bytes alongside (zero-padded, JavaData.h:225-227)
+                H, P = packed.hap.shape
+                hap_pd = np.zeros((H, P), np.uint8)
+                for k, i in enumerate(idxs):
+                    hap_pd[: len(hap_pds[i]), k] = hap_pds[i]
+
+                res, raw = self._run_packed(
+                    packed.hap, hap_pd, packed.read, packed.q, packed.iq,
+                    packed.dq, packed.gcp, packed.haplen, packed.rslen, dtype,
+                )
+                res = res[: packed.n_real]
+                raw_n = raw[: packed.n_real]
             # Underflow rescue (the reference's float->double recompute,
             # IntelPairHmm.cc:157-165 applied to PDHMM): every lane below
             # MIN_ACCEPTED reruns through the native batch oracle — exact

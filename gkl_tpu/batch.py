@@ -215,6 +215,79 @@ def pack_pairs_indexed(
                               pattern_nh=nh if full_pattern else None)
 
 
+@dataclasses.dataclass
+class PackedPDHMMIndexed:
+    """PDHMM batch with deduplicated planes + per-pair indices.
+
+    Same link-budget design as PackedPairsIndexed: the object path
+    (api_pdhmm.compute_likelihoods) appends the SAME array objects for
+    every cross-product pair, so unique haplotype planes (bases, PD bytes,
+    derived column states) and unique read planes (bases + 4 quality
+    planes) upload once and lanes expand ON DEVICE with ``jnp.take`` —
+    host→device bytes drop from ``(3H + 5R)·n`` to ``3H·nu_h + 5R·nu_r``.
+    """
+
+    hap_u: np.ndarray  # (H, nu_h) uint8
+    happd_u: np.ndarray  # (H, nu_h) uint8 — PD bytes
+    states_u: np.ndarray  # (H, nu_h) — column_states(happd_u)
+    readq_u: np.ndarray  # (5, R, nu_r) uint8 [bases, q, iq, dq, gcp]
+    ridx: np.ndarray  # (P,) int32
+    hidx: np.ndarray  # (P,) int32
+    haplen: np.ndarray  # (P,) int32
+    rslen: np.ndarray  # (P,) int32
+    n_real: int
+
+
+def pack_pdhmm_indexed(
+    uhaps: Sequence[np.ndarray],
+    uhap_pds: Sequence[np.ndarray],
+    ureads: Sequence[np.ndarray],
+    uread_quals: Sequence[tuple],
+    ridx: Sequence[int],
+    hidx: Sequence[int],
+    *,
+    lane_multiple: int | None = None,
+    qual_fill: int = 40,
+) -> PackedPDHMMIndexed:
+    """Pack UNIQUE haplotype/read planes plus per-pair index vectors.
+
+    ``ridx``/``hidx`` map each real pair lane to its unique read / hap
+    column (identity dedup is the caller's job — the object path shares
+    array objects across pairs, pdhmm/JavaData.h:186-236)."""
+    from .ops import pdhmm as pdhmm_ops
+
+    if lane_multiple is None:
+        lane_multiple = default_lane_multiple()
+    H = bucket_length(max(len(h) for h in uhaps))
+    R = bucket_length(max(len(r) for r in ureads))
+    nu_h = bucket_lanes(len(uhaps), 8)
+    nu_r = bucket_lanes(len(ureads), 8)
+    hap_u = _pad_columns(uhaps, H, nu_h, 0)
+    happd_u = _pad_columns(uhap_pds, H, nu_h, 0)
+    states_u = pdhmm_ops.column_states(happd_u)
+    readq_u = np.stack([
+        _pad_columns(ureads, R, nu_r, 0),
+        _pad_columns([qs[0] for qs in uread_quals], R, nu_r, qual_fill),
+        _pad_columns([qs[1] for qs in uread_quals], R, nu_r, qual_fill),
+        _pad_columns([qs[2] for qs in uread_quals], R, nu_r, qual_fill),
+        _pad_columns([qs[3] for qs in uread_quals], R, nu_r, qual_fill),
+    ])
+    n = len(ridx)
+    P = bucket_lanes(n, lane_multiple)
+    ridx_p = np.zeros(P, np.int32)
+    hidx_p = np.zeros(P, np.int32)
+    ridx_p[:n] = np.asarray(ridx, np.int32)
+    hidx_p[:n] = np.asarray(hidx, np.int32)
+    haplen = np.ones(P, np.int32)
+    rslen = np.ones(P, np.int32)
+    hlen = np.array([len(h) for h in uhaps], np.int32)
+    rlen = np.array([len(r) for r in ureads], np.int32)
+    haplen[:n] = hlen[hidx_p[:n]]
+    rslen[:n] = rlen[ridx_p[:n]]
+    return PackedPDHMMIndexed(hap_u, happd_u, states_u, readq_u,
+                              ridx_p, hidx_p, haplen, rslen, n)
+
+
 def group_by_bucket(haps: Sequence[np.ndarray], reads: Sequence[np.ndarray]):
     """Group pair indices by (R-bucket, H-bucket) shape class."""
     groups: dict[tuple[int, int], list[int]] = {}

@@ -91,6 +91,19 @@ pd_err = np.max(np.abs(res - pd_exp))
 print("pdhmm golden max err:", pd_err, flush=True)
 assert pd_err < 1e-4
 
+# object path (cross product, identity-shared planes): the deduplicated
+# device-expanded dispatch fires here — its diagonal must hit the same
+# golden values the flat path just did
+from gkl_tpu.api_pdhmm import PDHaplotypeData  # noqa: E402
+
+pd_haps = [PDHaplotypeData(c.hap, c.hap_pd) for c in pd_cases]
+pd_reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in pd_cases]
+res_x = np.asarray(pd.compute_likelihoods(pd_reads, pd_haps))
+diag = res_x.reshape(t, t).diagonal()
+pd_err_x = np.max(np.abs(diag - pd_exp))
+print("pdhmm indexed object-path max err:", pd_err_x, flush=True)
+assert pd_err_x < 1e-4
+
 from gkl_tpu.api_sw import OverhangStrategy, SmithWaterman, SWParameters  # noqa: E402
 from gkl_tpu.ops import sw_ref  # noqa: E402
 

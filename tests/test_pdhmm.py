@@ -223,3 +223,75 @@ def test_scattered_events_lane_planning():
         list(hap), list(pd), list(read),
         [(q[i], iq[i], dq[i], g[i]) for i in range(t)])
     np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_indexed_dedup_matches_engine(monkeypatch):
+    """The deduplicated device-expanded PDHMM path (identity-shared planes,
+    interpret-mode kernel) agrees with the plain engine on the object-path
+    cross product, for both the single and the chunked kernel."""
+    from gkl_tpu import api_pdhmm, utils
+    from gkl_tpu.ops import pdhmm_pallas
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    haps = []
+    for j in range(4):
+        hb = bases[rng.integers(0, 4, 24)]
+        pd = np.zeros(24, np.uint8)
+        if j % 2:
+            pd[5] = 2  # DEL_START
+            pd[8] = 4  # DEL_END
+        haps.append(PDHaplotypeData(hb, pd))
+    reads = []
+    for _ in range(4):
+        n = 16
+        reads.append(ReadData(bases[rng.integers(0, 4, n)],
+                              rng.integers(20, 40, n).astype(np.uint8),
+                              rng.integers(30, 45, n).astype(np.uint8),
+                              rng.integers(30, 45, n).astype(np.uint8),
+                              np.full(n, 10, np.uint8)))
+    expected = PDHMM().compute_likelihoods(reads, haps)
+
+    ran = []
+
+    def interp_inner(kernel):
+        ran.append(kernel)
+        fn = (pdhmm_pallas.pdhmm_raw_pallas if kernel == "single"
+              else pdhmm_pallas.pdhmm_raw_pallas_chunked)
+
+        def wrapped(*args, **kw):
+            return fn(*args, lane_block=8, interpret=True)
+
+        return wrapped
+
+    monkeypatch.setattr(api_pdhmm, "_pdhmm_indexed_inner", interp_inner)
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+    got = PDHMM(lane_multiple=8).compute_likelihoods(reads, haps)
+    assert ran == ["single"], ran  # the indexed fast path actually ran
+    np.testing.assert_allclose(got, expected, atol=TOL)
+
+    # chunked kernel selection: shrink the single-kernel ceiling
+    monkeypatch.setattr(pdhmm_pallas, "pdhmm_single_fits",
+                        lambda H, R, lane_block=128: False)
+    ran.clear()
+    got_c = PDHMM(lane_multiple=8).compute_likelihoods(reads, haps)
+    assert ran == ["chunked"], ran
+    np.testing.assert_allclose(got_c, expected, atol=TOL)
+
+
+def test_indexed_dedup_declines_unique_planes(monkeypatch):
+    """Per-pair unique planes give no dedup: the indexed path must decline
+    (None) so the dense path runs — guards the threshold logic."""
+    from gkl_tpu import api_pdhmm, utils
+
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+    rng = np.random.default_rng(6)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    n = 40  # > the max(16, n//2) dedup threshold
+    haps = [bases[rng.integers(0, 4, 24)] for _ in range(n)]
+    pds = [np.zeros(24, np.uint8) for _ in range(n)]
+    reads = [bases[rng.integers(0, 4, 16)] for _ in range(n)]
+    quals = [(rng.integers(20, 40, 16).astype(np.uint8),) * 4
+             for _ in range(n)]
+    pd = PDHMM(lane_multiple=8)
+    assert pd._try_indexed(list(range(n)), haps, pds, reads, quals, 8) is None
