@@ -295,3 +295,40 @@ def test_indexed_dedup_declines_unique_planes(monkeypatch):
              for _ in range(n)]
     pd = PDHMM(lane_multiple=8)
     assert pd._try_indexed(list(range(n)), haps, pds, reads, quals, 8) is None
+
+
+def test_indexed_dedup_rescue_interaction(monkeypatch):
+    """Deep lanes surfaced by the indexed path still flow through the
+    oracle rescue: with MIN_ACCEPTED raised so EVERY lane rescues, the
+    indexed dispatch's raw array must drive the per-lane oracle rerun and
+    the final numbers must still match the plain engine."""
+    from gkl_tpu import api_pdhmm, utils
+    from gkl_tpu.ops import pdhmm_pallas
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    haps = [PDHaplotypeData(bases[rng.integers(0, 4, 24)],
+                            np.zeros(24, np.uint8)) for _ in range(3)]
+    reads = []
+    for _ in range(3):
+        n = 16
+        reads.append(ReadData(bases[rng.integers(0, 4, n)],
+                              rng.integers(20, 40, n).astype(np.uint8),
+                              rng.integers(30, 45, n).astype(np.uint8),
+                              rng.integers(30, 45, n).astype(np.uint8),
+                              np.full(n, 10, np.uint8)))
+    expected = PDHMM().compute_likelihoods(reads, haps)
+
+    def interp_inner(kernel):
+        fn = pdhmm_pallas.pdhmm_raw_pallas
+
+        def wrapped(*args, **kw):
+            return fn(*args, lane_block=8, interpret=True)
+
+        return wrapped
+
+    monkeypatch.setattr(api_pdhmm, "_pdhmm_indexed_inner", interp_inner)
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+    monkeypatch.setattr(api_pdhmm, "MIN_ACCEPTED", 1.0)  # rescue everything
+    got = PDHMM(lane_multiple=8).compute_likelihoods(reads, haps)
+    np.testing.assert_allclose(got, expected, atol=TOL)
