@@ -323,6 +323,15 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
   const SymTables& T = kSym;
   const int limit4 = n - 4;
   int pos = 0;
+  // miss-run skip acceleration (the igzip/LZ4 heuristic): in regions where
+  // matches keep missing (high-entropy quality bytes inside BAM records),
+  // probe the dictionary at a growing stride instead of every byte.  The
+  // skipped bytes are still emitted as literals; only their hash inserts
+  // are dropped, so output stays valid DEFLATE and the ratio cost is a
+  // slightly sparser dictionary at the tail of long literal runs.  Level 2
+  // keeps the dense every-byte probe.
+  int miss_run = 0;
+  const int accel_shift = level >= 2 ? 30 : 5;  // stride = 1 + run/32 (L1)
   while (pos < n) {
     int best_len = 0, best_dist = 0;
     if (pos <= limit4) {
@@ -361,10 +370,18 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
         for (int q = pos + 1; q < stop; ++q) head[hash4(read32(in + q))] = q;
       }
       pos += best_len;
+      miss_run = 0;
     } else {
-      uint8_t c = in[pos++];
-      tokens.push_back(c);
-      lit_freq[c]++;
+      int step = 1 + (miss_run >> accel_shift);
+      if (step > 16) step = 16;  // cap: re-sync quickly after entropy runs
+      if (step > n - pos) step = n - pos;
+      for (int k = 0; k < step; ++k) {
+        uint8_t c = in[pos + k];
+        tokens.push_back(c);
+        lit_freq[c]++;
+      }
+      pos += step;
+      miss_run += step;
     }
   }
   lit_freq[256]++;  // end of block
