@@ -310,8 +310,10 @@ extern "C" {
 int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
                          int level) {
   static thread_local std::vector<int32_t> head;
+  static thread_local std::vector<int32_t> head2;
   static thread_local std::vector<uint32_t> tokens;
   head.assign(kHashSize, -1);
+  head2.assign(kHashSize, -1);
   tokens.clear();
   tokens.reserve((size_t)n / 3 + 16);
 
@@ -337,26 +339,38 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
     if (pos <= limit4) {
       uint32_t v = read32(in + pos);
       uint32_t h = hash4(v);
+      // two-slot bucket (a depth-2 chain): the newest candidate plus the
+      // one it displaced — recovers most of a full chain's ratio at one
+      // extra compare per probe
       int cand = head[h];
+      int cand2 = head2[h];
+      head2[h] = cand;
       head[h] = pos;
-      if (cand >= 0 && pos - cand <= 32768 && read32(in + cand) == v) {
-        int maxl = n - pos < 258 ? n - pos : 258;
+      const int maxl = n - pos < 258 ? n - pos : 258;
+      auto extend = [&](int c) {
         int L = 4;
         while (L + 8 <= maxl) {
           uint64_t a, b;
-          std::memcpy(&a, in + cand + L, 8);
+          std::memcpy(&a, in + c + L, 8);
           std::memcpy(&b, in + pos + L, 8);
           uint64_t x = a ^ b;
-          if (x) {
-            L += __builtin_ctzll(x) >> 3;
-            goto extended;
-          }
+          if (x) return L + (__builtin_ctzll(x) >> 3);
           L += 8;
         }
-        while (L < maxl && in[cand + L] == in[pos + L]) ++L;
-      extended:
-        best_len = L;
+        while (L < maxl && in[c + L] == in[pos + L]) ++L;
+        return L;
+      };
+      if (cand >= 0 && pos - cand <= 32768 && read32(in + cand) == v) {
+        best_len = extend(cand);
         best_dist = pos - cand;
+      }
+      if (cand2 >= 0 && pos - cand2 <= 32768 && best_len < maxl &&
+          read32(in + cand2) == v) {
+        int L2 = extend(cand2);
+        if (L2 > best_len) {
+          best_len = L2;
+          best_dist = pos - cand2;
+        }
       }
     }
     if (best_len >= 4) {
@@ -367,7 +381,11 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
       if (level >= 2) {
         // denser dictionary: insert every position inside the match
         int stop = pos + best_len < limit4 + 1 ? pos + best_len : limit4 + 1;
-        for (int q = pos + 1; q < stop; ++q) head[hash4(read32(in + q))] = q;
+        for (int q = pos + 1; q < stop; ++q) {
+          uint32_t hq = hash4(read32(in + q));
+          head2[hq] = head[hq];
+          head[hq] = q;
+        }
       }
       pos += best_len;
       miss_run = 0;
