@@ -180,7 +180,9 @@ class PairHMM:
         see ``gkl_tpu.parallel``).  The f32 jnp engine runs SPMD; lane
         counts pad to a multiple of the mesh size."""
         self.args = args or PairHMMNativeArguments()
+        self._user_lane_multiple = lane_multiple
         self._lane_multiple = lane_multiple
+        self._user_mesh = mesh is not None
         self.mesh = mesh
         if mesh is None:
             self.mesh = self._mesh_from_thread_cap(self.args)
@@ -202,21 +204,31 @@ class PairHMM:
             return None
         import jax
 
-        n_dev = len(jax.devices())
-        n = n_dev if cap == 0 else min(cap, n_dev)  # clamp, like the reference
+        # LOCAL devices only: the thread clamp is a per-process concept
+        # (one OpenMP pool per JVM in the reference).  An auto-mesh must
+        # never span processes — each process feeds its own batches, so a
+        # cross-process collective program would deadlock; multi-host
+        # meshes are an explicit opt-in via PairHMM(mesh=...).
+        devs = jax.local_devices()
+        n = len(devs) if cap == 0 else min(cap, len(devs))
         if n <= 1:
             return None
         from . import parallel
 
-        return parallel.data_parallel_mesh(n)
+        return parallel.data_parallel_mesh(devices=devs[:n])
 
     def initialize(self, args: PairHMMNativeArguments) -> None:
+        """Re-reads the thread clamp like the reference's initializeNative
+        does on every call (IntelPairHmm.cc:88-91): an auto-built mesh is
+        rebuilt (or dropped) to match the new cap.  A mesh the caller
+        passed explicitly is never touched."""
         self.args = args
-        if self.mesh is None:
+        if not self._user_mesh:
             self.mesh = self._mesh_from_thread_cap(args)
-            if self.mesh is not None and self._lane_multiple is None:
+            if self._user_lane_multiple is None:
                 self._lane_multiple = (
-                    128 if self._use_pallas(0) else 8) * self.mesh.size
+                    None if self.mesh is None else
+                    (128 if self._use_pallas(0) else 8) * self.mesh.size)
 
     def done(self) -> None:  # parity with IntelPairHmm.done()
         pass
@@ -224,6 +236,12 @@ class PairHMM:
     # Longest haplotype bucket the Pallas kernel holds in VMEM scratch
     # (3 state tiles of (H, 128) f32 plus inputs; 16 MB VMEM on v5e).
     PALLAS_MAX_HAP = 2048
+
+    # compute_likelihoods_async keeps at most this many input-plane bytes
+    # in flight on device; further bucket groups dispatch lazily from
+    # result(), one group ahead of the fetch (bounds HBM for huge
+    # heterogeneous batches without losing the overlap)
+    _ASYNC_INFLIGHT_BYTES = 256 << 20
 
     @classmethod
     def _use_pallas(cls, hap_len: int = 0) -> bool:
@@ -494,6 +512,7 @@ class PairHMM:
             for j, ln in enumerate(hlens):
                 hgroups.setdefault(batch_mod.bucket_length(ln), []).append(j)
             work = []
+            inflight = 0
             for rids in rgroups.values():
                 rq = [(reads[i].read_quals, reads[i].insertion_gop,
                        reads[i].deletion_gop, reads[i].overall_gcp)
@@ -520,6 +539,15 @@ class PairHMM:
                     )
                     idxs = (np.asarray(rids, np.int64)[:, None] * nh
                             + np.asarray(hids, np.int64)[None, :]).ravel()
+                    # device-memory bound: groups beyond the in-flight
+                    # byte budget stay undispatched ("lazy"); result()
+                    # dispatches them one group ahead of the fetch so the
+                    # overlap survives without the whole batch resident
+                    est = pk.device_bytes()
+                    if inflight + est > self._ASYNC_INFLIGHT_BYTES and work:
+                        work.append(("lazy", idxs, pk, None))
+                        continue
+                    inflight += est
                     handles = self._forward_scaled_dispatch_indexed(pk)
                     if handles is not None:
                         work.append(("scaled", idxs, pk, handles))
@@ -543,6 +571,7 @@ class PairHMM:
 
         groups = batch_mod.group_by_bucket(pairs_hap, pairs_read)
         work = []
+        inflight = 0
         for idxs in groups.values():
             packed = batch_mod.pack_pairs(
                 [pairs_hap[i] for i in idxs],
@@ -553,6 +582,11 @@ class PairHMM:
             if self.args.use_double_precision:
                 work.append(("f64", idxs, packed, None))
                 continue
+            est = packed.device_bytes()
+            if inflight + est > self._ASYNC_INFLIGHT_BYTES and work:
+                work.append(("lazy", idxs, packed, None))
+                continue
+            inflight += est
             handles = self._forward_scaled_dispatch(packed)
             if handles is not None:
                 # single pass: the scaled kernel is bit-identical to the
@@ -593,12 +627,34 @@ class PendingLikelihoods:
         self._cells = cells
         self._out: np.ndarray | None = None
 
+    def _dispatch_lazy(self, entry):
+        """Dispatch a budget-deferred group now; returns the live entry."""
+        hmm = self._hmm
+        _, idxs, packed, _ = entry
+        if isinstance(packed, batch_mod.PackedPairsIndexed):
+            handles = hmm._forward_scaled_dispatch_indexed(packed)
+            if handles is not None:
+                return ("scaled", idxs, packed, handles)
+            packed = packed.materialize()
+        handles = hmm._forward_scaled_dispatch(packed)
+        if handles is not None:
+            return ("scaled", idxs, packed, handles)
+        return ("f32", idxs, packed, None)
+
     def result(self) -> np.ndarray:
         if self._out is not None:
             return self._out
         hmm = self._hmm
         out = np.zeros(self._n, np.float64)
-        for kind, idxs, packed, handles in self._work:
+        work = list(self._work)
+        for k in range(len(work)):
+            if work[k][0] == "lazy":
+                work[k] = self._dispatch_lazy(work[k])
+            # keep one lazy group dispatched ahead of this fetch so its
+            # upload/compute overlaps the readback below
+            if k + 1 < len(work) and work[k + 1][0] == "lazy":
+                work[k + 1] = self._dispatch_lazy(work[k + 1])
+            kind, idxs, packed, handles = work[k]
             if kind == "f64":
                 raw64 = hmm._raw_batch(packed, "float64")
                 res = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)

@@ -52,6 +52,12 @@ class PackedPairs:
     rslen: np.ndarray  # (P,) int32
     n_real: int  # lanes [0, n_real) are real pairs
 
+    def device_bytes(self) -> int:
+        """Approximate device footprint while this batch is in flight:
+        input planes plus the (3, P) f32 result stack."""
+        P = self.hap.shape[1]
+        return (self.hap.shape[0] + 5 * self.read.shape[0]) * P + 12 * P
+
 
 def _pad_columns(seqs: Sequence[np.ndarray], length: int, lanes: int, fill: int) -> np.ndarray:
     out = np.full((length, lanes), fill, dtype=np.uint8)
@@ -132,6 +138,15 @@ class PackedPairsIndexed:
     # with the SAME cuts (each device's pairs reference only its own
     # reads).  None = compact padding (single-device layout).
     pattern_nh: int | None = None
+
+    def device_bytes(self) -> int:
+        """Approximate device footprint while this batch is in flight: the
+        EXPANDED per-pair planes (the on-device ``jnp.take`` materializes
+        them in HBM) plus the (3, P) f32 result stack."""
+        P = self.ridx.shape[0]
+        H = self.hap_u.shape[0]
+        R = self.readq_u.shape[1]
+        return (H + 5 * R) * P + 12 * P
 
     def materialize(self) -> PackedPairs:
         """Expand to the dense per-pair representation (host-side) — used by

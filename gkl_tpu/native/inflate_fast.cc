@@ -245,6 +245,13 @@ struct BitReader {
     return v;
   }
 
+  // True once CONSUMED bits extend past the real input: bits fed into the
+  // accumulator are 8*(pos + pad), of which nbits are still unconsumed.
+  // (pad alone is the wrong test — padding bytes that were appended but
+  // never consumed are legal, and short tail symbols can push pad past any
+  // fixed bound while consuming only real bits.)
+  inline bool overrun() const { return 8 * (pos + pad) - nbits > 8 * n; }
+
   inline void drop(int k) {
     acc >>= k;
     nbits -= k;
@@ -320,7 +327,7 @@ void enter_block(Ctx& c) {
   const int n = br.n;
   for (;;) {
     br.refill();
-    if (br.pad > 8) { c.state = ST_ERR; return; }
+    if (br.overrun()) { c.state = ST_ERR; return; }
     c.bfinal = br.get(1);
     uint32_t btype = br.get(2);
     if (btype == 0) {
@@ -380,7 +387,7 @@ void enter_block(Ctx& c) {
     int i = 0;
     while (i < total) {
       br.refill();
-      if (br.pad > 8) { c.state = ST_ERR; return; }
+      if (br.overrun()) { c.state = ST_ERR; return; }
       Entry e;
       if (decode_sym(br, cl_table, 7, &e)) { c.state = ST_ERR; return; }
       unsigned sym = e_val(e);
@@ -476,6 +483,12 @@ void hot_loop(Ctx& c) {
   constexpr uint32_t lmask = (1u << kRootLit) - 1u;
   constexpr uint32_t dmask = (1u << kRootDist) - 1u;
   int r = 0;
+  // every GKL_HOT_REFILL memcpys 8 bytes at pos, so each one must see
+  // pos <= in_fast (= n-8); near the tail the careful loop takes over
+  if (h.pos > h.in_fast || h.op > h.out_fast) {
+    hot_store(h, c);
+    return;  // state stays ST_HUFF -> careful_loop
+  }
   GKL_HOT_REFILL(h);
   Entry e = h.lit[h.acc & lmask];
   while (h.pos <= h.in_fast && h.op <= h.out_fast) {
@@ -510,8 +523,13 @@ void hot_loop(Ctx& c) {
         h.out[h.op + 1] = (uint8_t)(v >> 8);
         h.op += (int)e_extra(e);
       }
-      GKL_HOT_REFILL(h);
-      e = h.lit[h.acc & lmask];
+      // the top refill can have advanced pos to n-1, so re-check before
+      // refilling again; past the margin the while condition exits to the
+      // careful loop at this (consistent) symbol boundary
+      if (h.pos <= h.in_fast) {
+        GKL_HOT_REFILL(h);
+        e = h.lit[h.acc & lmask];
+      }
     carried:
       continue;
     }
@@ -536,9 +554,17 @@ void hot_loop(Ctx& c) {
     int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
     if (__builtin_expect(dist > h.op, 0)) { r = -1; break; }
     // preload the next entry before the copy; top up first if the match
-    // consumed into the root-index bits (rare: only 43-bit symbols)
-    if (__builtin_expect(h.nbits < kRootLit, 0)) GKL_HOT_REFILL(h);
-    e = h.lit[h.acc & lmask];
+    // consumed into the root-index bits (rare: only 43-bit symbols).  If
+    // the refill would read past the tail margin, run the copy and hand
+    // the stream to the careful loop at this symbol boundary instead.
+    bool tail = false;
+    if (__builtin_expect(h.nbits < kRootLit, 0)) {
+      if (__builtin_expect(h.pos > h.in_fast, 0))
+        tail = true;
+      else
+        GKL_HOT_REFILL(h);
+    }
+    if (!tail) e = h.lit[h.acc & lmask];
     uint8_t* dst = h.out + h.op;
     const uint8_t* src = dst - dist;
     h.op += len;
@@ -566,6 +592,7 @@ void hot_loop(Ctx& c) {
         have += c2;
       }
     }
+    if (__builtin_expect(tail, 0)) break;  // r == 0 -> careful loop
   }
   hot_store(h, c);
   if (r < 0)
@@ -580,7 +607,7 @@ void careful_loop(Ctx& c) {
   BitReader& br = c.br;
   for (;;) {
     br.refill();
-    if (br.pad > 8) { c.state = ST_ERR; return; }
+    if (br.overrun()) { c.state = ST_ERR; return; }
     Entry e;
     if (decode_sym(br, c.lit, kRootLit, &e)) { c.state = ST_ERR; return; }
     unsigned t = e_type(e);

@@ -106,6 +106,20 @@ def pairhmm_stream(
     from . import profiling
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, prefetch))
+    # Set when the consumer abandons the generator (break / exception /
+    # GC): the producer's puts poll it so the thread — and the open BAM
+    # handle inside its record iterator — cannot leak blocked on a full
+    # queue.
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -126,13 +140,14 @@ def pairhmm_stream(
                         continue
                 batch.append(rec)
                 if len(batch) >= chunk_reads:
-                    q.put(("chunk", batch))
+                    if not _put(("chunk", batch)):
+                        return
                     batch = []
-            if batch:
-                q.put(("chunk", batch))
-            q.put(("done", None))
+            if batch and not _put(("chunk", batch)):
+                return
+            _put(("done", None))
         except BaseException as e:  # noqa: BLE001 — relayed to the consumer
-            q.put(("error", e))
+            _put(("error", e))
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -149,33 +164,37 @@ def pairhmm_stream(
                                      seconds=time.perf_counter() - t0)
         return res
 
-    while True:
-        t0 = time.perf_counter() if metrics_on else 0.0
-        kind, payload = q.get()
-        if metrics_on:
-            profiling.METRICS.record("pipeline_wait", items=1,
-                                     seconds=time.perf_counter() - t0)
-        if kind == "error":
-            raise payload
-        if kind == "done":
-            break
-        records = payload
-        t0 = time.perf_counter() if metrics_on else 0.0
-        reads = reads_from_records(records)
-        handle = hmm.compute_likelihoods_async(reads, haplotypes)
-        if metrics_on:
-            profiling.METRICS.record("pipeline_dispatch", items=len(reads),
-                                     seconds=time.perf_counter() - t0)
-        pending.append(([r.name for r in records], len(reads), handle))
-        # resolve two chunks behind: chunk N dispatches while N-1's
-        # upload/compute and N-2's result readback are both still in
-        # flight — one-behind left the head blocked on the previous
-        # chunk's full round trip (the link is latency-, not
-        # bandwidth-dominated at these sizes)
-        while len(pending) > 2:
+    try:
+        while True:
+            t0 = time.perf_counter() if metrics_on else 0.0
+            kind, payload = q.get()
+            if metrics_on:
+                profiling.METRICS.record("pipeline_wait", items=1,
+                                         seconds=time.perf_counter() - t0)
+            if kind == "error":
+                raise payload
+            if kind == "done":
+                break
+            records = payload
+            t0 = time.perf_counter() if metrics_on else 0.0
+            reads = reads_from_records(records)
+            handle = hmm.compute_likelihoods_async(reads, haplotypes)
+            if metrics_on:
+                profiling.METRICS.record("pipeline_dispatch",
+                                         items=len(reads),
+                                         seconds=time.perf_counter() - t0)
+            pending.append(([r.name for r in records], len(reads), handle))
+            # resolve two chunks behind: chunk N dispatches while N-1's
+            # upload/compute and N-2's result readback are both still in
+            # flight — one-behind left the head blocked on the previous
+            # chunk's full round trip (the link is latency-, not
+            # bandwidth-dominated at these sizes)
+            while len(pending) > 2:
+                yield resolve(pending.popleft())
+        while pending:
             yield resolve(pending.popleft())
-    while pending:
-        yield resolve(pending.popleft())
+    finally:
+        stop.set()
 
 
 def sw_align_stream(

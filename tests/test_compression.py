@@ -246,3 +246,61 @@ def test_fast_inflate_stream_shapes():
             zo = zlib.compressobj(level, zlib.DEFLATED, -zlib.MAX_WBITS)
             stream = zo.compress(data) + zo.flush()
             assert comp.raw_inflate(stream, nowrap=True) == data, (len(data), level)
+
+
+def test_fast_inflate_no_overread_at_page_boundary():
+    """The fast-inflate hot loop must never read past the input buffer:
+    valid raw-DEFLATE streams placed flush against a PROT_NONE guard page
+    must decode (not SIGSEGV), and truncated streams must return the zlib
+    fallback's answer, not garbage.  Regression for the mid-iteration
+    refill overread (the refill memcpys 8 bytes at pos; pos could reach
+    n-1 between top-of-loop checks)."""
+    import ctypes
+    import mmap as mmap_mod
+    import random
+    import zlib
+
+    from gkl_tpu import native_lib
+
+    lib = native_lib.load("gkl_codec")
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    fn = lib.gkl_fast_inflate
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                   ctypes.c_int]
+    libc = ctypes.CDLL(None, use_errno=True)
+    libc.mmap.restype = ctypes.c_void_p
+    libc.mmap.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+                          ctypes.c_int, ctypes.c_int, ctypes.c_long]
+    libc.mprotect.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+    page = mmap_mod.PAGESIZE
+    npages = 17
+    base = libc.mmap(None, npages * page, 0x3, 0x22, -1, 0)
+    assert base not in (None, -1)
+    assert libc.mprotect(base + (npages - 1) * page, page, 0) == 0
+    out = ctypes.create_string_buffer(1 << 17)
+    rng = random.Random(3)
+    for trial in range(60):
+        kind = trial % 3
+        nlen = rng.randrange(1, 40000)
+        if kind == 0:
+            data = bytes(rng.randrange(0, 64) for _ in range(nlen))
+        elif kind == 1:
+            data = bytes(rng.choice(b"ACGT") for _ in range(nlen))
+        else:
+            data = (b"ACGTACGGT" * (nlen // 9 + 1))[:nlen]
+        co = zlib.compressobj(rng.choice([1, 6]), zlib.DEFLATED, -15)
+        stream = co.compress(data) + co.flush()
+        addr = base + (npages - 1) * page - len(stream)
+        ctypes.memmove(addr, stream, len(stream))
+        r = fn(addr, len(stream), out, len(out))
+        assert r == len(data) and out.raw[:r] == data, (trial, kind, nlen, r)
+        cut = rng.randrange(1, len(stream))
+        ctypes.memmove(base + (npages - 1) * page - cut, stream, cut)
+        r = fn(base + (npages - 1) * page - cut, cut, out, len(out))
+        # truncated input: decline (-1, the zlib-fallback path) — or, when
+        # the cut only removed trailing byte-alignment padding, the full
+        # correct decode; never a garbage accept
+        assert r == -1 or (r == len(data) and out.raw[:r] == data), (
+            trial, cut, r)

@@ -73,6 +73,24 @@ def test_pairhmm_initialize_reconfigures_mesh():
     assert hmm.mesh is None
     hmm.initialize(PairHMMNativeArguments(max_number_of_threads=2))
     assert hmm.mesh is not None and hmm.mesh.size == 2
+    # the reference re-reads the clamp on every initializeNative
+    # (IntelPairHmm.cc:88-91): lowering the cap must drop the auto-mesh
+    # and its lane padding, not silently keep the old span
+    hmm.initialize(PairHMMNativeArguments(max_number_of_threads=1))
+    assert hmm.mesh is None and hmm._lane_multiple is None
+    hmm.initialize(PairHMMNativeArguments(max_number_of_threads=4))
+    assert hmm.mesh.size == 4
+
+
+def test_pairhmm_thread_cap_mesh_is_process_local():
+    # the OpenMP clamp is per-process; an auto-mesh must never span
+    # processes (each process feeds its own batches — a cross-process
+    # collective program would deadlock)
+    import jax
+
+    local = set(jax.local_devices())
+    mesh = PairHMM(PairHMMNativeArguments(max_number_of_threads=0)).mesh
+    assert all(d in local for d in mesh.devices.flat)
 
 
 def test_pairhmm_explicit_mesh_wins_over_thread_cap():

@@ -96,6 +96,27 @@ def test_async_dispatch_matches_sync():
     np.testing.assert_array_equal(p1.result(), a1)
 
 
+def test_async_inflight_budget_defers_groups(monkeypatch):
+    """With the in-flight byte budget forced tiny, later bucket groups
+    defer ('lazy') at dispatch time and only go to the device from
+    result() — and the numbers still equal the sync API (bounds device
+    memory for huge heterogeneous batches)."""
+    import golden
+    from gkl_tpu import HaplotypeData, PairHMM, ReadData
+
+    cases = golden.load_pairhmm_cases()[:8]
+    reads = [ReadData(c.read, c.q, c.iq, c.dq, c.gcp) for c in cases]
+    haps = [HaplotypeData(c.hap) for c in cases]
+    hmm = PairHMM()
+    sync = hmm.compute_likelihoods(reads, haps)
+    monkeypatch.setattr(PairHMM, "_ASYNC_INFLIGHT_BYTES", 1)
+    pending = hmm.compute_likelihoods_async(reads, haps)
+    kinds = [w[0] for w in pending._work]
+    if len(kinds) > 1:  # first group always dispatches; the rest defer
+        assert kinds.count("lazy") == len(kinds) - 1
+    np.testing.assert_array_equal(pending.result(), sync)
+
+
 def test_pack_pairs_indexed_matches_dense():
     """PackedPairsIndexed.materialize() reproduces pack_pairs bit-for-bit on
     the real lanes (pad lanes differ by design: indexed pad lanes alias

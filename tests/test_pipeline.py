@@ -257,3 +257,30 @@ def test_reads_from_records_share_const_planes():
             assert rd.insertion_gop is by_len[n]
         by_len[n] = rd.insertion_gop
     assert api._const_quals_of(reads) == (45, 45, 10)
+
+
+def test_stream_abandoned_producer_terminates():
+    """Breaking out of pairhmm_stream (or closing it) must stop the
+    producer thread — it may not stay blocked on the full prefetch queue
+    holding the BAM handle open (leak regression)."""
+    import threading
+    import time
+
+    from gkl_tpu import bam as bam_mod
+    from gkl_tpu.api import HaplotypeData
+    from gkl_tpu.pipeline import pairhmm_stream
+
+    _, records = bam_mod.read_bam(BAM, limit=4)
+    haps = [HaplotypeData(records[0].seq)]
+    before = set(threading.enumerate())
+    gen = pairhmm_stream(BAM, haps, chunk_reads=8, limit=256, prefetch=1)
+    next(gen)  # producer running, queue full
+    gen.close()  # GeneratorExit -> finally -> stop event
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"
