@@ -121,19 +121,13 @@ def _scaled_indexed_jit(inner_fn, const_quals):
     import jax
     import jax.numpy as jnp
 
+    from .ops.pairhmm_pallas import expand_indexed_planes
+
     @jax.jit
     def f(hap_u, readq_u, ridx, hidx, haplen, rslen, quals_u=None):
-        read = jnp.take(readq_u[0], ridx, axis=1)
-        q = jnp.take(readq_u[1], ridx, axis=1)
-        hap = jnp.take(hap_u, hidx, axis=1)
-        if const_quals is not None:
-            iq = jnp.full_like(read, const_quals[0])
-            dq = jnp.full_like(read, const_quals[1])
-            gcp = jnp.full_like(read, const_quals[2])
-        else:
-            iq = jnp.take(quals_u[0], ridx, axis=1)
-            dq = jnp.take(quals_u[1], ridx, axis=1)
-            gcp = jnp.take(quals_u[2], ridx, axis=1)
+        hap, read, q, iq, dq, gcp = expand_indexed_planes(
+            hap_u, readq_u, ridx, hidx, const_quals=const_quals,
+            quals_u=quals_u)
         m, e, fl = inner_fn(hap, read, q, iq, dq, gcp, haplen, rslen,
                             lane_block=128)
         return jnp.stack([m, e.astype(jnp.float32), fl.astype(jnp.float32)])

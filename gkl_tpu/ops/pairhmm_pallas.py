@@ -713,3 +713,28 @@ def pairhmm_raw_pallas(hap, read, q, iq, dq, gcp, haplen, rslen, *, lane_block: 
             interpret=interpret,
         )(hap_i, packed, inity, rslen2, haplen2)
     return out[0]
+
+
+def expand_indexed_planes(hap_u, readq_u, ridx, hidx, *, const_quals=None,
+                          quals_u=None):
+    """Device-side expansion of a deduplicated (indexed) batch: gather the
+    per-pair planes from the unique read/hap planes with ``jnp.take`` and
+    synthesize constant iq/dq/gcp planes when the batch carries the GATK
+    default-GOP constants.  Shared by the single-device jit wrapper
+    (api._scaled_indexed_jit) and the mesh shard body
+    (parallel.mesh._pairhmm_indexed_sharded_fn) so the two paths cannot
+    drift.  Returns (hap, read, q, iq, dq, gcp)."""
+    import jax.numpy as jnp
+
+    read = jnp.take(readq_u[0], ridx, axis=1)
+    q = jnp.take(readq_u[1], ridx, axis=1)
+    hap = jnp.take(hap_u, hidx, axis=1)
+    if const_quals is not None:
+        iq = jnp.full_like(read, const_quals[0])
+        dq = jnp.full_like(read, const_quals[1])
+        gcp = jnp.full_like(read, const_quals[2])
+    else:
+        iq = jnp.take(quals_u[0], ridx, axis=1)
+        dq = jnp.take(quals_u[1], ridx, axis=1)
+        gcp = jnp.take(quals_u[2], ridx, axis=1)
+    return hap, read, q, iq, dq, gcp

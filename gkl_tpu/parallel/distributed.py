@@ -154,9 +154,18 @@ def pairhmm_raw_global(mesh, packed_local, dtype: str = "float32", *,
     lb, interp = _default_lane_block(interpret)
     lane_block = lane_block or lb
     P_local = packed_local.hap.shape[1]
+    # shard_map hands each LOCAL DEVICE P_local / n_local lanes — the
+    # Pallas kernel's lane-block contract binds per device, not per host
+    n_local = sum(1 for d in mesh.devices.flat
+                  if d.process_index == jax.process_index())
     if engine == "auto":
-        engine = ("pallas" if dtype == "float32" and P_local % lane_block == 0
-                  else "jnp")
+        per_dev_ok = (n_local > 0 and P_local % n_local == 0
+                      and (P_local // n_local) % lane_block == 0)
+        engine = "pallas" if dtype == "float32" and per_dev_ok else "jnp"
+    if engine == "pallas" and dtype != "float32":
+        raise ValueError(
+            "engine='pallas' runs the float32 kernel; request "
+            "dtype='float32' or engine='jnp' for float64")
     if engine == "pallas":
         from .mesh import _pairhmm_pallas_sharded_fn
 

@@ -214,20 +214,14 @@ def _pairhmm_indexed_sharded_fn(mesh: Mesh, const_quals, lane_block: int,
                               lane_block=lane_block, interpret=interpret)
 
     def local(hap_u, readq_u, ridx, hidx, haplen, rslen, *rest):
-        # rebase global read indices onto this shard's read slab
+        # rebase global read indices onto this shard's read slab; the
+        # expansion itself is shared with the single-device wrapper
+        # (haps replicate — tiny — so hidx needs no rebase)
         shard = jax.lax.axis_index("dp")
         ridx_l = ridx - shard * readq_u.shape[2]
-        read = jnp.take(readq_u[0], ridx_l, axis=1)
-        q = jnp.take(readq_u[1], ridx_l, axis=1)
-        hap = jnp.take(hap_u, hidx, axis=1)  # haps replicate (tiny)
-        if const_quals is not None:
-            iq = jnp.full_like(read, const_quals[0])
-            dq = jnp.full_like(read, const_quals[1])
-            gcp = jnp.full_like(read, const_quals[2])
-        else:
-            iq = jnp.take(rest[0][0], ridx_l, axis=1)
-            dq = jnp.take(rest[0][1], ridx_l, axis=1)
-            gcp = jnp.take(rest[0][2], ridx_l, axis=1)
+        hap, read, q, iq, dq, gcp = pairhmm_pallas.expand_indexed_planes(
+            hap_u, readq_u, ridx_l, hidx, const_quals=const_quals,
+            quals_u=rest[0] if const_quals is None else None)
         m, e, fl = inner(hap, read, q, iq, dq, gcp, haplen, rslen)
         return jnp.stack([m, e.astype(jnp.float32), fl.astype(jnp.float32)])
 

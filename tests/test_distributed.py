@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from gkl_tpu import parallel
 
@@ -359,3 +360,36 @@ def test_indexed_sharded_bit_parity():
                                       np.asarray(e2).astype(np.float32))
         np.testing.assert_array_equal(stacked[2],
                                       np.asarray(f2).astype(np.float32))
+
+
+def test_raw_global_auto_engine_binds_per_device():
+    """engine='auto' must size the Pallas lane-block check per DEVICE, not
+    per host: 16 host lanes over an 8-device mesh give 2 lanes/device —
+    too few for the 8-lane interpret block — so auto must take the jnp
+    engine (the old per-host check picked Pallas and crashed in trace).
+    Also: an explicit engine='pallas' with dtype='float64' must raise
+    rather than silently compute float32."""
+    from gkl_tpu.batch import PackedPairs
+    from gkl_tpu.ops.pairhmm import pairhmm_raw
+    from gkl_tpu.parallel import distributed
+
+    mesh = parallel.global_mesh()
+    P = 2 * mesh.size  # 2 lanes per device < interpret lane block (8)
+    rng = np.random.default_rng(4)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, (24, P))]
+    read = hap[:16].copy()
+    q = rng.integers(20, 40, (16, P)).astype(np.uint8)
+    iq = rng.integers(30, 45, (16, P)).astype(np.uint8)
+    dq = rng.integers(30, 45, (16, P)).astype(np.uint8)
+    gcp = np.full((16, P), 10, np.uint8)
+    haplen = np.full(P, 24, np.int32)
+    rslen = np.full(P, 16, np.int32)
+    packed = PackedPairs(hap, read, q, iq, dq, gcp, haplen, rslen, P)
+    out = distributed.pairhmm_raw_global(mesh, packed)  # auto -> jnp
+    ref = np.asarray(pairhmm_raw(hap, read, q, iq, dq, gcp, haplen, rslen,
+                                 dtype="float32"))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    with pytest.raises(ValueError, match="float32"):
+        distributed.pairhmm_raw_global(mesh, packed, dtype="float64",
+                                       engine="pallas")
