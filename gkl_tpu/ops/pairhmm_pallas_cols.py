@@ -84,6 +84,11 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
     # can still dominate the result (see pairhmm_pallas._split_coeff).
     # Spans 1-2 cannot underflow for &127 quals (pXX >= 2^-43), so their
     # exact single-factor form skips the extra in-loop multiply.
+    # The ladder is hap-chunk-invariant but deliberately recomputed per
+    # grid step: persisting 2·log2(R) extra (R, LANE_BLOCK) f32 tiles in
+    # scratch (~2.3 MB at R=512) would break the probed VMEM budget that
+    # allows R=512 at all, while the recompute costs ~0.5-1% of a CH>=256
+    # step — the bandwidth/VMEM trade favors the recompute.
     a_levels = []
     am, ae = rows_mod._renorm_mant(pxx)
     k = 1
