@@ -153,7 +153,9 @@ def _const_quals_of(reads: Sequence["ReadData"]):
             if key in seen:
                 continue
             seen.add(key)
-            if plane[0] != cv or not (plane == cv).all():
+            # an empty plane (dense packing pads with qual_fill) can't be
+            # asserted constant — fall back to the dense path
+            if len(plane) == 0 or plane[0] != cv or not (plane == cv).all():
                 return None
     return c
 

@@ -250,7 +250,11 @@ struct BitReader {
   // (pad alone is the wrong test — padding bytes that were appended but
   // never consumed are legal, and short tail symbols can push pad past any
   // fixed bound while consuming only real bits.)
-  inline bool overrun() const { return 8 * (pos + pad) - nbits > 8 * n; }
+  // 64-bit arithmetic: the generic Inflater path feeds whole streams, so n
+  // can exceed 256 MiB where 8*n overflows int.
+  inline bool overrun() const {
+    return 8 * ((int64_t)pos + pad) - nbits > 8 * (int64_t)n;
+  }
 
   inline void drop(int k) {
     acc >>= k;
@@ -372,6 +376,12 @@ void enter_block(Ctx& c) {
     int hlit = (int)br.get(5) + 257;
     int hdist = (int)br.get(5) + 1;
     int hclen = (int)br.get(4) + 4;
+    // RFC 1951 3.2.7: litlen symbols 286/287 and dist symbols 30/31 are
+    // reserved and must not participate in the code.  Rejecting the counts
+    // here (zlib: "too many length or distance symbols") keeps build_table's
+    // reserved-skip branches unreachable, so a "complete" code can never
+    // leave stale root slots pointing at a previous block's entries.
+    if (hlit > 286 || hdist > 30) { c.state = ST_ERR; return; }
     uint8_t cl_lens[19] = {0};
     for (int i = 0; i < hclen; ++i) {
       if (br.nbits < 3) br.refill();

@@ -49,11 +49,35 @@ def _native_dir() -> str:
     return os.path.join(os.path.dirname(__file__), "native")
 
 
+def _march_tag() -> str:
+    """Short host-microarchitecture digest for the build-cache key.
+
+    -march=native binaries are only valid on hosts with the same ISA
+    extensions; on NFS-shared home directories (common for TPU-pod
+    frontends) a library built on a newer host would SIGILL on an older
+    one.  Keying the cache directory on platform + cpuinfo flags makes
+    each microarchitecture build its own copy."""
+    import hashlib
+    import platform
+
+    bits = [platform.machine(), platform.system()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
 def _build_dir() -> str:
     d = os.environ.get(
         "GKL_TPU_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "gkl_tpu"),
     )
+    d = os.path.join(d, _march_tag())
     os.makedirs(d, exist_ok=True)
     return d
 

@@ -304,3 +304,83 @@ def test_fast_inflate_no_overread_at_page_boundary():
         # correct decode; never a garbage accept
         assert r == -1 or (r == len(data) and out.raw[:r] == data), (
             trial, cut, r)
+
+
+def test_fast_inflate_rejects_reserved_symbol_headers():
+    """Dynamic headers declaring reserved symbols (HLIT > 286 / HDIST > 30,
+    RFC 1951 3.2.7) must be rejected like zlib ("too many length or distance
+    symbols").  Regression: a complete litlen code that assigns lengths to
+    286/287 used to count them for completeness but skip their table
+    entries, leaving stale/uninitialized root slots reachable from the
+    decode loop (heap-overwrite risk on crafted BGZF input)."""
+    import ctypes
+
+    from gkl_tpu import native_lib
+
+    lib = native_lib.load("gkl_codec")
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    fn = lib.gkl_fast_inflate
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                   ctypes.c_int]
+
+    class BitWriter:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, value, nbits):  # LSB-first, per the DEFLATE spec
+            for k in range(nbits):
+                self.bits.append((value >> k) & 1)
+
+        def put_code(self, code, nbits):  # Huffman codes go MSB-first
+            for k in reversed(range(nbits)):
+                self.bits.append((code >> k) & 1)
+
+        def bytes(self):
+            out = bytearray((len(self.bits) + 7) // 8)
+            for i, b in enumerate(self.bits):
+                out[i >> 3] |= b << (i & 7)
+            return bytes(out)
+
+    def craft(hlit_field, hdist_field):
+        w = BitWriter()
+        w.put(1, 1)            # BFINAL
+        w.put(2, 2)            # BTYPE = dynamic
+        w.put(hlit_field, 5)   # HLIT: nsym = field + 257
+        w.put(hdist_field, 5)  # HDIST: nsym = field + 1
+        # CL code over symbols {0,1,2,3}, all length 2 (complete):
+        # codes 00/01/10/11.  HCLEN order is the kClPerm permutation.
+        perm = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                11, 4, 12, 3, 13, 2, 14, 1, 15]
+        cl_lens = {0: 2, 1: 2, 2: 2, 3: 2}
+        w.put(19 - 4, 4)       # HCLEN: all 19 slots
+        for s in perm:
+            w.put(cl_lens.get(s, 0), 3)
+        cl_code = {0: 0b00, 1: 0b01, 2: 0b10, 3: 0b11}
+        nlit = hlit_field + 257
+        ndist = hdist_field + 1
+        # litlen lens: sym0 -> 1, sym256 -> 2, last two litlen syms -> 3
+        # (Kraft-complete: 1/2 + 1/4 + 2/8 = 1); dist lens: sym0 -> 1.
+        lens = [0] * (nlit + ndist)
+        lens[0] = 1
+        lens[256] = 2
+        lens[nlit - 2] = lens[nlit - 1] = 3
+        lens[nlit] = 1
+        for v in lens:
+            w.put_code(cl_code[v], 2)
+        w.put_code(0b10, 2)    # end-of-block (canonical code for sym 256)
+        return w.bytes()
+
+    out = ctypes.create_string_buffer(1 << 12)
+    for hlit_field, hdist_field in ((31, 0), (30, 0), (29, 31), (29, 30)):
+        stream = craft(hlit_field, hdist_field)
+        assert fn(stream, len(stream), out, len(out)) == -1, (
+            hlit_field, hdist_field)
+        with pytest.raises(zlib.error):
+            zlib.decompressobj(-15).decompress(stream)
+    # sanity: the same construction inside the legal bounds decodes to the
+    # empty payload on both decoders
+    legal = craft(29, 29)
+    assert fn(legal, len(legal), out, len(out)) == 0
+    assert zlib.decompressobj(-15).decompress(legal) == b""
