@@ -130,33 +130,142 @@ def _suite_extras(quick: bool) -> dict:
     return extras
 
 
-def main():
-    try:
-        import jax
+def inner_main():
+    """Measure on whatever backend this process resolved.  The headline and
+    the suite extras are isolated from each other: a failing headline still
+    emits every extra (and vice versa), so one broken engine cannot void a
+    round's evidence."""
+    import sys
 
-        jax.config.update("jax_enable_x64", True)
-        backend = jax.default_backend()
-        quick = backend == "cpu"
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    backend = jax.default_backend()
+    quick = backend == "cpu"
+    rec = {
+        "metric": "pairhmm_dp_cells_per_sec",
+        "value": 0.0,
+        "unit": "cells/s",
+        "vs_baseline": 0.0,
+        "extra": {"backend": backend},
+    }
+    try:
         if quick:
             cells_per_sec = bench_pairhmm(R=32, H=64, P=256, iters=10)
         else:
             cells_per_sec = bench_pairhmm()
-        extras = _suite_extras(quick)
-        print(
-            json.dumps(
-                {
-                    "metric": "pairhmm_dp_cells_per_sec",
-                    "value": cells_per_sec,
-                    "unit": "cells/s",
-                    "vs_baseline": cells_per_sec / BASELINE_CELLS_PER_SEC,
-                    "extra": extras,
-                }
+        rec["value"] = cells_per_sec
+        rec["vs_baseline"] = cells_per_sec / BASELINE_CELLS_PER_SEC
+    except Exception as e:  # noqa: BLE001 - extras still run
+        rec["error"] = str(e)[:300]
+    try:
+        rec["extra"].update(_suite_extras(quick))
+    except Exception as e:  # noqa: BLE001
+        rec["extra"]["suite_error"] = str(e)[:300]
+    print(json.dumps(rec))
+    sys.stdout.flush()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Outer harness.  The remote-TPU (axon) backend in this environment fails in
+# two modes: a clean init error, and a HANG inside jax's first device op
+# (observed >300 s).  In-process retries cannot recover a hang, so the outer
+# process never imports jax: it probes the backend in a bounded SUBPROCESS
+# with retry/backoff, then runs the measurement in a subprocess on the
+# backend the probe proved alive — falling back to CPU with an explicit
+# "backend_unavailable" marker (rc still 0) so partial evidence always lands.
+# ---------------------------------------------------------------------------
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128, 128));"
+    "assert float((x @ x).sum()) > 0;"
+    "print('PROBE_OK', jax.default_backend(), flush=True)"
+)
+
+
+def _probe_backend(attempts=5, probe_timeout=150):
+    """Return the live default backend name, or None if every bounded
+    attempt failed/hung (VERDICT r3: 5 attempts over ~3+ min)."""
+    import subprocess
+    import sys
+
+    delays = [0, 10, 20, 40, 60]
+    for i in range(attempts):
+        if delays[min(i, len(delays) - 1)] and i:
+            time.sleep(delays[min(i, len(delays) - 1)])
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=probe_timeout,
             )
+        except subprocess.TimeoutExpired:
+            print(f"bench: backend probe attempt {i + 1}/{attempts} hung "
+                  f"(> {probe_timeout}s)", file=sys.stderr)
+            continue
+        if r.returncode == 0 and "PROBE_OK" in r.stdout:
+            return r.stdout.split("PROBE_OK", 1)[1].split()[0]
+        print(f"bench: backend probe attempt {i + 1}/{attempts} failed "
+              f"(rc={r.returncode}): {r.stderr.strip()[-200:]}",
+              file=sys.stderr)
+    return None
+
+
+def _run_inner(env_extra, timeout_s):
+    """Run `bench.py --inner` in a subprocess; return its JSON line or None."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(env_extra)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
         )
-    except Exception as e:  # noqa: BLE001 - the driver needs a line either way
-        print(json.dumps({"metric": "pairhmm_dp_cells_per_sec", "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0, "error": str(e)}))
-        raise
+    except subprocess.TimeoutExpired:
+        print(f"bench: inner run hung (> {timeout_s}s)", file=sys.stderr)
+        return None
+    sys.stderr.write(r.stderr[-4000:])
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    print(f"bench: inner run emitted no JSON (rc={r.returncode})",
+          file=sys.stderr)
+    return None
+
+
+_CPU_ENV = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+
+
+def main():
+    backend = _probe_backend()
+    rec = None
+    if backend and backend != "cpu":
+        rec = _run_inner({}, timeout_s=4800)
+        if rec is not None:
+            rec.setdefault("extra", {})["backend"] = backend
+    if rec is None:
+        marker = "backend_unavailable" if backend != "cpu" else None
+        rec = _run_inner(_CPU_ENV, timeout_s=2400)
+        if rec is None:
+            rec = {"metric": "pairhmm_dp_cells_per_sec", "value": 0.0,
+                   "unit": "cells/s", "vs_baseline": 0.0,
+                   "error": "both TPU and CPU bench runs failed"}
+        if marker:
+            rec.setdefault("extra", {})[marker] = True
+    print(json.dumps(rec))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inner" in sys.argv:
+        raise SystemExit(inner_main())
+    raise SystemExit(main())
