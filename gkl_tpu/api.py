@@ -160,6 +160,63 @@ def _const_quals_of(reads: Sequence["ReadData"]):
     return c
 
 
+def _extract_lanes(packed, lanes):
+    """Per-lane variable-length (haps, reads, quals) views for a lane subset
+    of a packed batch — the compaction step of the lane-granular rescue (the
+    reference recomputes only the underflowed pair, IntelPairHmm.cc:157-165).
+    Works on dense and indexed batches without materializing the group."""
+    haps, reads, quals = [], [], []
+    indexed = isinstance(packed, batch_mod.PackedPairsIndexed)
+    for k in lanes:
+        k = int(k)
+        hl, rl = int(packed.haplen[k]), int(packed.rslen[k])
+        if indexed:
+            ri, hi = int(packed.ridx[k]), int(packed.hidx[k])
+            haps.append(packed.hap_u[:hl, hi])
+            reads.append(packed.readq_u[0][:rl, ri])
+            if packed.const_quals is not None:
+                iq = np.full(rl, packed.const_quals[0], np.uint8)
+                dq = np.full(rl, packed.const_quals[1], np.uint8)
+                gcp = np.full(rl, packed.const_quals[2], np.uint8)
+            else:
+                iq = packed.quals_u[0][:rl, ri]
+                dq = packed.quals_u[1][:rl, ri]
+                gcp = packed.quals_u[2][:rl, ri]
+            quals.append((packed.readq_u[1][:rl, ri], iq, dq, gcp))
+        else:
+            haps.append(packed.hap[:hl, k])
+            reads.append(packed.read[:rl, k])
+            quals.append((packed.q[:rl, k], packed.iq[:rl, k],
+                          packed.dq[:rl, k], packed.gcp[:rl, k]))
+    return haps, reads, quals
+
+
+def _slice_lanes(packed, lanes) -> batch_mod.PackedPairs:
+    """Dense sub-batch holding only ``lanes`` (the jnp-f64 fallback path of
+    the lane-granular rescue)."""
+    if isinstance(packed, batch_mod.PackedPairsIndexed):
+        hi = packed.hidx[lanes]
+        ri = packed.ridx[lanes]
+        hap = np.take(packed.hap_u, hi, axis=1)
+        read = np.take(packed.readq_u[0], ri, axis=1)
+        q = np.take(packed.readq_u[1], ri, axis=1)
+        if packed.const_quals is not None:
+            iq = np.full_like(read, packed.const_quals[0])
+            dq = np.full_like(read, packed.const_quals[1])
+            gcp = np.full_like(read, packed.const_quals[2])
+        else:
+            iq = np.take(packed.quals_u[0], ri, axis=1)
+            dq = np.take(packed.quals_u[1], ri, axis=1)
+            gcp = np.take(packed.quals_u[2], ri, axis=1)
+        return batch_mod.PackedPairs(hap, read, q, iq, dq, gcp,
+                                     packed.haplen[lanes],
+                                     packed.rslen[lanes], len(lanes))
+    return batch_mod.PackedPairs(
+        packed.hap[:, lanes], packed.read[:, lanes], packed.q[:, lanes],
+        packed.iq[:, lanes], packed.dq[:, lanes], packed.gcp[:, lanes],
+        packed.haplen[lanes], packed.rslen[lanes], len(lanes))
+
+
 class PairHMM:
     """PairHMM forward-likelihood engine (float-first with double rescue).
 
@@ -251,6 +308,40 @@ class PairHMM:
         if hap_len > cls.PALLAS_MAX_HAP:
             return False
         return utils.is_tpu_available()
+
+    def _f64_lanes(self, packed, lanes, kernel: str | None = None) -> np.ndarray:
+        """Reference-exact f64 log10 results for a lane subset.
+
+        The threaded native oracle (native/pairhmm_oracle.cc — sequential
+        double DP with gradual underflow, the IntelPairHmm.cc:157-165 rescue
+        engine) runs over the COMPACTED lanes, so rescue work scales with
+        ``len(lanes)``, not the packed group; the jnp f64 engine on sliced
+        columns is the no-native fallback.  ``kernel`` names a METRICS
+        counter to record (items = lanes recomputed)."""
+        import time as _time
+
+        from . import native_lib, profiling
+
+        t0 = _time.perf_counter() if profiling.metrics_enabled() else 0.0
+        lanes = np.asarray(lanes, np.int64)
+        if native_lib.load("gkl_pairhmm_oracle") is not None:
+            from .ops import pairhmm_ref
+
+            haps, reads, quals = _extract_lanes(packed, lanes)
+            threads = (self.args.max_number_of_threads
+                       or utils.default_host_threads())
+            res = pairhmm_ref.pairhmm_scalar_batch(haps, reads, quals,
+                                                   threads=threads)
+        else:
+            sub = _slice_lanes(packed, lanes)
+            raw64 = self._raw_batch(sub, "float64")
+            res = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
+        if kernel is not None and profiling.metrics_enabled():
+            cells = int(np.sum(packed.haplen[lanes].astype(np.int64)
+                               * packed.rslen[lanes].astype(np.int64)))
+            profiling.METRICS.record(kernel, items=len(lanes), cells=cells,
+                                     seconds=_time.perf_counter() - t0)
+        return res
 
     # -- functional core ---------------------------------------------------
     def _raw_batch(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
@@ -652,8 +743,10 @@ class PendingLikelihoods:
                 work[k + 1] = self._dispatch_lazy(work[k + 1])
             kind, idxs, packed, handles = work[k]
             if kind == "f64":
-                raw64 = hmm._raw_batch(packed, "float64")
-                res = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
+                # pure-double mode: the native oracle IS the engine (exact
+                # f64 with gradual underflow, like the reference's double
+                # kernel); jnp f64 is the no-native fallback inside
+                res = hmm._f64_lanes(packed, np.arange(packed.n_real))
             else:
                 if kind == "scaled":
                     res, needs_rescue = hmm._forward_scaled_finalize(
@@ -663,13 +756,14 @@ class PendingLikelihoods:
                     res = pairhmm_ops.pairhmm_log10_from_raw_f32(raw32)
                     needs_rescue = raw32 < MIN_ACCEPTED
                 if np.any(needs_rescue):
-                    # reference-exact f64 for lanes in the f64-subnormal
-                    # parity zone, or whenever the fast path is unavailable
-                    if isinstance(packed, batch_mod.PackedPairsIndexed):
-                        packed = packed.materialize()
-                    raw64 = hmm._raw_batch(packed, "float64")
-                    res64 = pairhmm_ops.pairhmm_log10_from_raw_f64(raw64)
-                    res = np.where(needs_rescue, res64, res)
+                    # lane-granular rescue: ONLY the flagged lanes are
+                    # compacted and recomputed in exact f64 (the reference
+                    # recomputes only the underflowed pair,
+                    # IntelPairHmm.cc:157-165) — rescue cost scales with
+                    # the deep-lane count, not the packed group
+                    lanes = np.nonzero(needs_rescue)[0]
+                    res[lanes] = hmm._f64_lanes(packed, lanes,
+                                                kernel="pairhmm_rescue")
             out[np.asarray(idxs)] = res
         self._work = ()
         self._out = out

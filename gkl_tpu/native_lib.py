@@ -21,13 +21,15 @@ import subprocess
 import sys
 import threading
 
-_ALLOWED = ("gkl_sw_runtime", "gkl_codec", "gkl_bam", "gkl_pdhmm_oracle")
+_ALLOWED = ("gkl_sw_runtime", "gkl_codec", "gkl_bam", "gkl_pdhmm_oracle",
+            "gkl_pairhmm_oracle")
 
 _SRC = {
     "gkl_sw_runtime": ["sw_runtime.cc"],
     "gkl_codec": ["codec.cc", "deflate_fast.cc", "inflate_fast.cc"],
     "gkl_bam": ["bam_scan.cc"],
     "gkl_pdhmm_oracle": ["pdhmm_oracle.cc"],
+    "gkl_pairhmm_oracle": ["pairhmm_oracle.cc"],
 }
 
 _LINK = {
@@ -35,6 +37,7 @@ _LINK = {
     "gkl_sw_runtime": [],
     "gkl_bam": [],
     "gkl_pdhmm_oracle": [],
+    "gkl_pairhmm_oracle": [],
 }
 
 _cache: dict[str, ctypes.CDLL | None] = {}

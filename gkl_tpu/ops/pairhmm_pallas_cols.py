@@ -155,6 +155,235 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), body, jnp.int32(0))
 
 
+def _kernel_relay(first_chunk, r0, hap_ref, bm_ref, bx_ref, by_ref, read_ref,
+                  dmatch_ref, dmis_ref, pmm_ref, pgapm_ref, pmx_ref, pxx_ref,
+                  pmy_ref, pyy_ref, inity_ref, rslen_ref, haplen_ref,
+                  out_ref, bmo_ref, bxo_ref, byo_ref,
+                  m_ref, x_ref, y_ref, pbm_ref, pbx_ref, pby_ref):
+    """Column-sweep kernel over a READ-axis chunk [r0+1, r0+R] of the DP.
+
+    The read relay removes the R <= 512 VMEM cap the same way the hap
+    stream removed the H cap (together: any-length pairs at full speed, the
+    reference's stripes covering any read length,
+    avx-pairhmm-template.h:291-323).  Chunk-boundary state rides as three
+    (H, P) planes in HBM: ``bm/bx/by`` hold M/X/Y of DP row ``r0`` at every
+    column (for the first chunk the driver synthesizes the virtual row 0:
+    M = X = 0, Y = INITIAL_CONSTANT/haplen), streamed per hap chunk like
+    the haplotype itself; ``bmo/bxo/byo`` collect row ``r0+R`` for the next
+    chunk.  The previous COLUMN's boundary values (needed by the first
+    row's diagonal) ride in (1, LANE_BLOCK) scratch that persists across
+    the sequential hap grid — exactly like the M/X/Y state tiles."""
+    R, LP = m_ref.shape
+    CH = hap_ref.shape[0]
+    jgrid = pl.program_id(1)
+    f32 = jnp.float32
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LP), 0)
+    read_i = read_ref[:]
+    read_is_n = read_i == _N_CODE
+    dmatch = dmatch_ref[:]
+    dmis = dmis_ref[:]
+    pmm = pmm_ref[:]
+    pgapm = pgapm_ref[:]
+    pmx = pmx_ref[:]
+    pxx = pxx_ref[:]
+    pmy = pmy_ref[:]
+    pyy = pyy_ref[:]
+    inity = inity_ref[:]  # (1, LP)
+    haplen = haplen_ref[:]
+    # rows are global DP rows r0+1 .. r0+R
+    last_row = jnp.where((row_iota + 1 + r0) == rslen_ref[:], f32(1.0), f32(0.0))
+    last_sel = jnp.where(row_iota == R - 1, f32(1.0), f32(0.0))
+
+    @pl.when(jgrid == 0)
+    def _init():
+        zero = jnp.zeros((R, LP), f32)
+        m_ref[:] = zero
+        x_ref[:] = zero
+        y_ref[:] = zero
+        out_ref[:] = jnp.zeros((1, LP), f32)
+        zrow1 = jnp.zeros((1, LP), f32)
+        pbm_ref[:] = zrow1
+        pbx_ref[:] = zrow1
+        # boundary at DP column 0: (0, 0, inity) for the first chunk
+        # (virtual row 0), all-zero for deeper chunks (column 0 of any
+        # row >= 1 is zero)
+        pby_ref[:] = inity if first_chunk else zrow1
+
+    def shift1(v, first):
+        return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    zrow = jnp.zeros((1, LP), f32)
+
+    # X-scan ladder (see _kernel above; identical construction)
+    a_levels = []
+    am, ae = rows_mod._renorm_mant(pxx)
+    k = 1
+    while k < R:
+        q_k, p2_k = rows_mod._split_coeff(am, ae)
+        if k <= 2:
+            a_levels.append((k, q_k * p2_k, None))
+        else:
+            a_levels.append((k, q_k, p2_k))
+        m2 = am * jnp.where(row_iota >= k, pltpu.roll(am, jnp.int32(k), 0), f32(1.0))
+        e2 = ae + jnp.where(row_iota >= k, pltpu.roll(ae, jnp.int32(k), 0), jnp.int32(0))
+        am, d = rows_mod._renorm_mant(m2)
+        ae = e2 + d
+        k <<= 1
+
+    def body(jc, carry):
+        j = jgrid * CH + jc
+        hap_b = hap_ref[pl.ds(jc, 1), :]  # (1, LP)
+        bm_c = bm_ref[pl.ds(jc, 1), :]    # boundary row r0 at THIS column
+        bx_c = bx_ref[pl.ds(jc, 1), :]
+        by_c = by_ref[pl.ds(jc, 1), :]
+        match = (read_i == hap_b) | read_is_n | (hap_b == _N_CODE)
+        prior = jnp.where(match, dmatch, dmis)
+
+        m_l = m_ref[:]
+        x_l = x_ref[:]
+        y_l = y_ref[:]
+
+        # diagonal (r-1, c-1): previous column shifted one row down; the
+        # first chunk row's diagonal is the PREVIOUS column's boundary row
+        m_dg = shift1(m_l, pbm_ref[:])
+        xy_dg = shift1(x_l + y_l, pbx_ref[:] + pby_ref[:])
+        m = prior * (pmm * m_dg + pgapm * xy_dg)
+
+        y = pmy * m_l + pyy * y_l
+
+        # X scan over chunk rows; the first row's seed folds in the full
+        # X(r0+1, c) = pMX*M(r0, c) + pXX*X(r0, c) from the boundary planes
+        seed = pmx[0:1] * bm_c + pxx[0:1] * bx_c
+        b = pmx * shift1(m, zrow)
+        b = jnp.where(row_iota == 0, seed, b)
+        for k, q_k, p2_k in a_levels:
+            b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+            t = q_k * b_sh
+            if p2_k is not None:
+                t = t * p2_k
+            b = t + b
+
+        m_ref[:] = m
+        x_ref[:] = b
+        y_ref[:] = y
+        pbm_ref[:] = bm_c
+        pbx_ref[:] = bx_c
+        pby_ref[:] = by_c
+
+        # boundary out: DP row r0+R of this column, for the next chunk
+        bmo_ref[pl.ds(jc, 1), :] = jnp.sum(m * last_sel, axis=0, keepdims=True)
+        bxo_ref[pl.ds(jc, 1), :] = jnp.sum(b * last_sel, axis=0, keepdims=True)
+        byo_ref[pl.ds(jc, 1), :] = jnp.sum(y * last_sel, axis=0, keepdims=True)
+
+        valid = jnp.where((j + 1) <= haplen, f32(1.0), f32(0.0))
+        out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), body, jnp.int32(0))
+
+
+def _cols_relay_call(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm,
+                     p_mx, p_xx, p_my, p_yy, inity, rslen2, haplen2,
+                     *, first_chunk, r0, lane_block, interpret):
+    H, P = hap_i.shape
+    R = read_i.shape[0]
+    CH = H
+    for c in (256, 128, 64, 32, 16, 8):
+        if H % c == 0:
+            CH = c
+            break
+    grid = (P // lane_block, H // CH)
+
+    def lane_spec(length):
+        return pl.BlockSpec((length, lane_block),
+                            lambda i, j: (jnp.int32(0), i),
+                            memory_space=pltpu.VMEM)
+
+    def hap_spec():
+        return pl.BlockSpec((CH, lane_block), lambda i, j: (j, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([hap_spec(), hap_spec(), hap_spec(), hap_spec()]
+                + [lane_spec(R)] * 10 + [lane_spec(1)] * 3)
+    out_specs = [lane_spec(1), hap_spec(), hap_spec(), hap_spec()]
+    out_shape = [jax.ShapeDtypeStruct((1, P), jnp.float32)] + \
+                [jax.ShapeDtypeStruct((H, P), jnp.float32)] * 3
+    kernel = functools.partial(_kernel_relay, first_chunk, r0)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((R, lane_block), jnp.float32)] * 3
+        + [pltpu.VMEM((1, lane_block), jnp.float32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=int(43 * H * R) * P,
+            bytes_accessed=int((7 * H + 10 * R) * 4) * P,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm, p_mx, p_xx,
+      p_my, p_yy, inity, rslen2, haplen2)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "r_chunk", "interpret"))
+def pairhmm_raw_pallas_cols_relay(hap, read, q, iq, dq, gcp, haplen, rslen,
+                                  *, lane_block: int = LANE_BLOCK,
+                                  r_chunk: int = 512, interpret: bool = False):
+    """float32 PairHMM forward for ANY (H, R): column sweep with the hap
+    axis streamed (as in ``pairhmm_raw_pallas_cols``) AND the read axis
+    relayed in ``r_chunk`` chunks with device-resident (H, P) boundary
+    planes.  Removes the R <= 512 jnp cliff for long reads (PacBio/ONT);
+    the whole relay is one jit program with no host fetch between chunks,
+    so it shards/pods like any other engine.  Same contract as
+    ``pairhmm_raw_pallas``."""
+    ctx = __import__("gkl_tpu.context", fromlist=["pairhmm_context"]).pairhmm_context("float32")
+    f = jnp.float32
+    H, P = hap.shape
+    R = read.shape[0]
+    assert P % lane_block == 0, (P, lane_block)
+
+    qm = (q & 127).astype(jnp.int32)
+    im = (iq & 127).astype(jnp.int32)
+    dm = (dq & 127).astype(jnp.int32)
+    cm = (gcp & 127).astype(jnp.int32)
+    p_mm = rows_mod._m2m_arith64(im, dm)
+    ph2pr_c = rows_mod._ph2pr_arith(cm)
+    p_mx = rows_mod._ph2pr_arith(im)
+    p_my = rows_mod._ph2pr_arith(dm)
+    distm = rows_mod._ph2pr_arith(qm)
+    p_gapm = f(1.0) - ph2pr_c
+    p_xx = ph2pr_c
+    p_yy = ph2pr_c
+    dmatch = f(1.0) - distm
+    dmis = distm / f(3.0)
+    inity = (jnp.asarray(ctx.INITIAL_CONSTANT, f) / haplen.astype(f))[None, :]
+    hap_i = hap.astype(jnp.int32)
+    read_i = read.astype(jnp.int32)
+    rslen2 = rslen.astype(jnp.int32)[None, :]
+    haplen2 = haplen.astype(jnp.int32)[None, :]
+
+    with jax.enable_x64(False):
+        # virtual DP row 0: M = X = 0, Y = inity at every column
+        bm = jnp.zeros((H, P), jnp.float32)
+        bx = jnp.zeros((H, P), jnp.float32)
+        by = jnp.broadcast_to(inity, (H, P)).astype(jnp.float32)
+        acc = jnp.zeros((1, P), jnp.float32)
+        for r0 in range(0, R, r_chunk):
+            rc = min(r_chunk, R - r0)
+            sl = slice(r0, r0 + rc)
+            out, bm, bx, by = _cols_relay_call(
+                hap_i, bm, bx, by, read_i[sl], dmatch[sl], dmis[sl],
+                p_mm[sl], p_gapm[sl], p_mx[sl], p_xx[sl], p_my[sl], p_yy[sl],
+                inity, rslen2, haplen2,
+                first_chunk=(r0 == 0), r0=r0, lane_block=lane_block,
+                interpret=interpret)
+            acc = acc + out
+    return acc[0]
+
+
 @functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
 def pairhmm_raw_pallas_cols(hap, read, q, iq, dq, gcp, haplen, rslen,
                             *, lane_block: int = LANE_BLOCK, interpret: bool = False):

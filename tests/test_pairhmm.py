@@ -201,3 +201,100 @@ def test_indexed_scaled_path_matches_dense_engine(monkeypatch):
     monkeypatch.undo()
     expected_c = PairHMM().compute_likelihoods(creads, haps)
     np.testing.assert_allclose(got_c, expected_c, atol=1e-4)
+
+
+def test_oracle_native_matches_python():
+    """The threaded native f64 oracle (native/pairhmm_oracle.cc — the
+    IntelPairHmm.cc:157-165 rescue engine) must be bit-identical to the
+    per-lane Python oracle: both run the same sequential DP on the same
+    precomputed probability rows."""
+    from gkl_tpu.ops import pairhmm_ref
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    haps, reads, quals = [], [], []
+    for _ in range(16):
+        hl = int(rng.integers(4, 70))
+        rl = int(rng.integers(3, 60))
+        haps.append(bases[rng.integers(0, 5, hl)])
+        reads.append(bases[rng.integers(0, 5, rl)])
+        quals.append((rng.integers(6, 60, rl).astype(np.uint8),
+                      rng.integers(20, 50, rl).astype(np.uint8),
+                      rng.integers(20, 50, rl).astype(np.uint8),
+                      np.full(rl, 10, np.uint8)))
+    got = pairhmm_ref.pairhmm_scalar_batch(haps, reads, quals, threads=3)
+    want = np.array([
+        pairhmm_ref.pairhmm_scalar(haps[k], reads[k], *quals[k])
+        for k in range(len(haps))
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extract_lanes_matches_materialize():
+    """The rescue's lane compaction on an INDEXED batch must see exactly the
+    planes a full materialize() would (const-GOP synthesis included)."""
+    from gkl_tpu import batch as batch_mod
+    from gkl_tpu.api import _extract_lanes
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    haps = [bases[rng.integers(0, 4, int(rng.integers(8, 40)))]
+            for _ in range(3)]
+    reads = [bases[rng.integers(0, 4, 24)] for _ in range(5)]
+    rq = [(rng.integers(10, 50, 24).astype(np.uint8),
+           rng.integers(20, 45, 24).astype(np.uint8),
+           rng.integers(20, 45, 24).astype(np.uint8),
+           rng.integers(5, 20, 24).astype(np.uint8)) for _ in range(5)]
+    for const in (None, (45, 46, 10)):
+        pk = batch_mod.pack_pairs_indexed(haps, reads, rq,
+                                          lane_multiple=8, const_quals=const)
+        dense = pk.materialize()
+        lanes = np.array([0, 4, 7, 14])
+        hs, rs, qs = _extract_lanes(pk, lanes)
+        for i, k in enumerate(lanes):
+            hl, rl = int(pk.haplen[k]), int(pk.rslen[k])
+            np.testing.assert_array_equal(hs[i], dense.hap[:hl, k])
+            np.testing.assert_array_equal(rs[i], dense.read[:rl, k])
+            for got_q, want_q in zip(qs[i], (dense.q, dense.iq, dense.dq,
+                                             dense.gcp)):
+                np.testing.assert_array_equal(got_q, want_q[:rl, k])
+
+
+def test_rescue_is_lane_granular(monkeypatch):
+    """Rescue work scales with the number of deep lanes, not the group: 3
+    deep lanes in a 4096-lane group recompute exactly 3 lanes (the
+    reference's per-pair double rescue, IntelPairHmm.cc:157-165), pinned
+    via the pairhmm_rescue METRICS counter."""
+    from gkl_tpu import profiling
+
+    monkeypatch.setenv("GKL_TPU_METRICS", "1")
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, 48)]
+    q50 = np.full(32, 50, np.uint8)
+    # gcp=50 too: with cheap gap extensions the whole-read-insertion path
+    # keeps mismatched lanes in f32 range; Q50 everywhere makes every path
+    # cost ~32*1e-5-class factors -> raw ~1e-124, far under f32
+    gcp = np.full(32, 50, np.uint8)
+    deep_lanes = (17, 900, 3000)
+    # guaranteed-mismatch read: every base differs from the hap prefix ->
+    # 32 mismatch priors of 1e-5/3 -> raw ~1e-139, far under f32 range
+    mism = bases[(np.searchsorted(bases, hap[:32]) + 1) % 4]
+    assert not np.any(mism == hap[:32])
+    reads = []
+    for i in range(4096):
+        rb = mism if i in deep_lanes else hap[:32]
+        reads.append(ReadData(rb.copy(), q50, q50, q50, gcp))
+    haps = [HaplotypeData(hap)]
+
+    profiling.METRICS.reset()
+    out = PairHMM(lane_multiple=8).compute_likelihoods(reads, haps)
+    snap = profiling.METRICS.snapshot()
+    assert "pairhmm_rescue" in snap, snap.keys()
+    assert snap["pairhmm_rescue"]["items"] == len(deep_lanes)
+
+    # and the rescued values are the exact-f64 answers
+    f64 = PairHMM(PairHMMNativeArguments(use_double_precision=True),
+                  lane_multiple=8).compute_likelihoods(
+        [reads[i] for i in deep_lanes], haps)
+    np.testing.assert_allclose(out[list(deep_lanes)], f64, rtol=0, atol=1e-9)
