@@ -160,6 +160,22 @@ def _const_quals_of(reads: Sequence["ReadData"]):
     return c
 
 
+def _warn_pallas_falloff(where: str, **detail) -> None:
+    """One-line diagnostic whenever a TPU batch degrades to the jnp scan
+    engine (~50x slower than the Pallas kernels) — the silent failure mode
+    rounds 1-2 fought.  ``GKL_TPU_STRICT_PALLAS=1`` raises instead (the
+    KernelLevel.PALLAS-style contract for production fleets)."""
+    import os
+    import sys
+
+    msg = (f"gkl_tpu: PairHMM batch fell off the Pallas fast path "
+           f"({where}: {detail}) — running the ~50x-slower jnp engine. "
+           f"Align lane counts to 128*mesh or unset GKL_TPU_PALLAS=0.")
+    if os.environ.get("GKL_TPU_STRICT_PALLAS") == "1":
+        raise RuntimeError(msg)
+    print(msg, file=sys.stderr)
+
+
 def _extract_lanes(packed, lanes):
     """Per-lane variable-length (haps, reads, quals) views for a lane subset
     of a packed batch — the compaction step of the lane-granular rescue (the
@@ -356,7 +372,10 @@ class PairHMM:
     # Probed on v5e (scripts/probe_cols_relay.py): the streamed-hap cols
     # kernel compiles and matches the jnp engine at H=32768 and R=512 (any
     # H — the hap axis pages through a sequential grid dimension); R=1024
-    # exceeds VMEM (13 (R,128) f32 tiles x ~3x multi-buffering).
+    # exceeds VMEM (13 (R,128) f32 tiles x ~3x multi-buffering).  Reads
+    # past that take the read-RELAY variant (device-resident boundary
+    # planes between read chunks), so there is no length cliff left in
+    # the Pallas path.
     COLS_MAX_READ = 512
 
     @classmethod
@@ -364,7 +383,8 @@ class PairHMM:
         """Streamed-hap column kernel: VMEM holds only (R, 128) tiles; the
         haplotype axis streams in chunks, so any H runs at full speed
         (the reference's stripes cover any length the same way,
-        avx-pairhmm-template.h:291-323)."""
+        avx-pairhmm-template.h:291-323).  Longer reads relay (see
+        _raw_batch_impl)."""
         return R <= cls.COLS_MAX_READ
 
     def _raw_batch_impl(self, packed: batch_mod.PackedPairs, dtype: str) -> np.ndarray:
@@ -382,7 +402,16 @@ class PairHMM:
                     raw = parallel.pairhmm_raw_pallas_sharded(self.mesh, packed)
                 elif pallas_ok and self._cols_kernel_fits(H, R):
                     raw = parallel.pairhmm_raw_pallas_cols_sharded(self.mesh, packed)
+                elif pallas_ok:
+                    # long reads AND long haplotypes: read-relayed column
+                    # sweep — any length at full speed (the reference's
+                    # stripes, avx-pairhmm-template.h:291-323)
+                    raw = parallel.pairhmm_raw_pallas_cols_relay_sharded(
+                        self.mesh, packed)
                 else:
+                    _warn_pallas_falloff("mesh", H=H, R=R,
+                                         P=packed.hap.shape[1],
+                                         mesh_size=self.mesh.size)
                     raw = parallel.pairhmm_raw_sharded(self.mesh, packed, dtype="float32")
             return np.asarray(raw)[: packed.n_real]
         if dtype == "float32" and self._use_pallas(0):
@@ -419,6 +448,27 @@ class PairHMM:
                     lane_block=128,
                 )
                 return np.asarray(raw)[: packed.n_real]
+            # long reads AND long haplotypes (PacBio/ONT-class pairs): the
+            # read-relayed column sweep removes the last jnp cliff
+            from .ops import pairhmm_pallas_cols
+
+            raw = pairhmm_pallas_cols.pairhmm_raw_pallas_cols_relay(
+                packed.hap,
+                packed.read,
+                packed.q,
+                packed.iq,
+                packed.dq,
+                packed.gcp,
+                packed.haplen,
+                packed.rslen,
+                lane_block=128,
+            )
+            return np.asarray(raw)[: packed.n_real]
+        if dtype == "float32" and utils.is_tpu_available():
+            # Pallas disabled or lanes misaligned on a TPU backend: this is
+            # the ~50x-slower jnp scan — say so instead of degrading
+            # silently (GKL_TPU_STRICT_PALLAS=1 raises)
+            _warn_pallas_falloff("single", H=H, R=R, P=packed.hap.shape[1])
         raw = pairhmm_ops.pairhmm_raw(
             packed.hap,
             packed.read,

@@ -280,7 +280,18 @@ def _kernel_relay(first_chunk, r0, hap_ref, bm_ref, bx_ref, by_ref, read_ref,
         out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
         return carry
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), body, jnp.int32(0))
+    if CH % 4 == 0:
+        # same 4-column unroll as _kernel — pipelines better AND keeps the
+        # out accumulation's reassociation identical, so a single-chunk
+        # relay is bit-equal to the plain cols kernel
+        def chunk(c, carry):
+            for k in range(4):
+                body(c * 4 + jnp.int32(k), carry)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH // 4), chunk, jnp.int32(0))
+    else:
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), body, jnp.int32(0))
 
 
 def _cols_relay_call(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm,
@@ -305,7 +316,7 @@ def _cols_relay_call(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm,
                             memory_space=pltpu.VMEM)
 
     in_specs = ([hap_spec(), hap_spec(), hap_spec(), hap_spec()]
-                + [lane_spec(R)] * 10 + [lane_spec(1)] * 3)
+                + [lane_spec(R)] * 9 + [lane_spec(1)] * 3)
     out_specs = [lane_spec(1), hap_spec(), hap_spec(), hap_spec()]
     out_shape = [jax.ShapeDtypeStruct((1, P), jnp.float32)] + \
                 [jax.ShapeDtypeStruct((H, P), jnp.float32)] * 3
@@ -338,7 +349,11 @@ def pairhmm_raw_pallas_cols_relay(hap, read, q, iq, dq, gcp, haplen, rslen,
     planes.  Removes the R <= 512 jnp cliff for long reads (PacBio/ONT);
     the whole relay is one jit program with no host fetch between chunks,
     so it shards/pods like any other engine.  Same contract as
-    ``pairhmm_raw_pallas``."""
+    ``pairhmm_raw_pallas``; additionally, boundary-plane components under
+    f32-min-normal flush at each chunk crossing, so results carry an
+    absolute noise floor of ~1.2e-38 per chunk — ten decades below
+    MIN_ACCEPTED, and lanes deeper than that are f64-rescued by the API
+    regardless of engine."""
     ctx = __import__("gkl_tpu.context", fromlist=["pairhmm_context"]).pairhmm_context("float32")
     f = jnp.float32
     H, P = hap.shape

@@ -234,14 +234,12 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
             i_ref[:] = b
             d_ref[:] = d
 
-        @pl.when(flag != 0)
-        def _slow():
+        def eventful_column(has_del_end):
             pd_b = pd_ref[pl.ds(j, 1), :]
             st_b = st_ref[pl.ds(j, 1), :]
             st_n = st_b == _ST_NORMAL
             st_i = st_b == _ST_INSIDE
             st_a = st_b == _ST_AFTER
-            del_end = (pd_b & DEL_END) != 0
 
             # prior with PD SNP-match bits (pdhmm-serial.cc:254-277)
             pd_match = ((pd_b & SNP) != 0) & ((pd_b & rbit) != 0)
@@ -269,25 +267,42 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
             m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
             d = m_left_e * t_md + d_left_e * t_dd
 
-            # insertion: I[r] = t_mi[r]*top_m + t_ii[r]*(del_end ?
-            # max(BI[r-1], I[r-1]) : I[r-1]) composed as max-affine maps
-            # x -> max(c, a*x + b) (identity (0, 1, 0) valid on the
-            # nonnegative domain).
-            m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
-            b = t_mi * shift1(m_eff, zrow)
-            c = jnp.where(del_end, b + t_dd * shift1(bi, zrow), zero)
-            for k, q_k, p2_k in a_levels:
-                in_range = row_iota >= k
-                c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
-                b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                tc = q_k * c_sh
-                tb = q_k * b_sh
-                if p2_k is not None:
-                    tc = tc * p2_k
-                    tb = tb * p2_k
-                c = jnp.maximum(c, tc + b)
-                b = tb + b
-            ins = jnp.maximum(c, b)  # applied to I[0] = 0
+            if not has_del_end:
+                # tier 1: PD/state-eventful column with NO DEL_END anywhere
+                # in the block — branch bookkeeping + PD priors, but the
+                # insertion recurrence stays the PLAIN affine scan (the
+                # dual max-affine ladder below is the expensive half of the
+                # slow path and only DEL_END columns need it).  Scattered
+                # per-lane events are mostly tier-1 columns.
+                b = t_mi * shift1(m, zrow)
+                for k, q_k, p2_k in a_levels:
+                    b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                    t = q_k * b_sh
+                    if p2_k is not None:
+                        t = t * p2_k
+                    b = t + b
+                ins = b
+            else:
+                del_end = (pd_b & DEL_END) != 0
+                # insertion: I[r] = t_mi[r]*top_m + t_ii[r]*(del_end ?
+                # max(BI[r-1], I[r-1]) : I[r-1]) composed as max-affine maps
+                # x -> max(c, a*x + b) (identity (0, 1, 0) valid on the
+                # nonnegative domain).
+                m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
+                b = t_mi * shift1(m_eff, zrow)
+                c = jnp.where(del_end, b + t_dd * shift1(bi, zrow), zero)
+                for k, q_k, p2_k in a_levels:
+                    in_range = row_iota >= k
+                    c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
+                    b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                    tc = q_k * c_sh
+                    tb = q_k * b_sh
+                    if p2_k is not None:
+                        tc = tc * p2_k
+                        tb = tb * p2_k
+                    c = jnp.maximum(c, tc + b)
+                    b = tb + b
+                ins = jnp.maximum(c, b)  # applied to I[0] = 0
 
             m_ref[:] = m
             i_ref[:] = ins
@@ -295,6 +310,14 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
             bm_ref[:] = bm
             bi_ref[:] = bi
             bd_ref[:] = bd
+
+        @pl.when(flag == 1)
+        def _mid():
+            eventful_column(False)
+
+        @pl.when(flag >= 2)
+        def _slow():
+            eventful_column(True)
 
         valid = jnp.where((j + 1) <= haplen, f32(1.0), f32(0.0))  # (1, LP)
         col_sum = jnp.sum((m_ref[:] + i_ref[:]) * last_row, axis=0, keepdims=True)
@@ -363,14 +386,17 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     haplen2 = haplen.astype(jnp.int32)[None, :]
     rslen2 = rslen.astype(jnp.int32)[None, :]
 
-    # per-(block, column) slow flag: any PD byte or non-NORMAL state in the
-    # block's lanes (AFTER_DEL merge columns have pd == 0, hence the state
-    # term); delivered via scalar prefetch (SMEM)
+    # per-(block, column) tier flag, delivered via scalar prefetch (SMEM):
+    #   0 — no PD byte / non-NORMAL state in the block (plain column);
+    #   1 — eventful but NO DEL_END (branch bookkeeping, plain ins scan);
+    #   2 — DEL_END present (full dual max-affine ladder).
+    # (AFTER_DEL merge columns have pd == 0, hence the state term.)
     nblocks = P // lane_block
     eventful = (pd_i != 0) | (st_i != 0)  # (H, P) bool
-    flags = (
-        eventful.reshape(H, nblocks, lane_block).any(axis=2).astype(jnp.int32).T
-    )  # (nblocks, H)
+    has_de = (pd_i & DEL_END) != 0
+    f1 = eventful.reshape(H, nblocks, lane_block).any(axis=2)
+    f2 = has_de.reshape(H, nblocks, lane_block).any(axis=2)
+    flags = (f1.astype(jnp.int32) + f2.astype(jnp.int32)).T  # (nblocks, H)
 
     grid = (nblocks,)
 
@@ -530,14 +556,12 @@ def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
             i_ref[:] = b
             d_ref[:] = d
 
-        @pl.when(flag != 0)
-        def _slow():
+        def eventful_column(has_del_end):
             pd_b = pd_ref[pl.ds(j, 1), :]
             st_b = st_ref[pl.ds(j, 1), :]
             st_n = st_b == _ST_NORMAL
             st_i = st_b == _ST_INSIDE
             st_a = st_b == _ST_AFTER
-            del_end = (pd_b & DEL_END) != 0
 
             pd_match = ((pd_b & SNP) != 0) & ((pd_b & rbit) != 0)
             prior = jnp.where(match_basic | pd_match, p_match, p_mis)
@@ -566,23 +590,37 @@ def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
             m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
             d = m_left_e * t_md + d_left_e * t_dd
 
-            m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
-            m_eff_top = jnp.where(del_end, jnp.maximum(tbm, tm), tm)
-            b_base = t_mi * shift1(m_eff, m_eff_top)
-            b = b_base + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0))
-            c = jnp.where(del_end, b_base + t_dd * shift1(bi, tbi), zero)
-            for k, q_k, p2_k in a_levels:
-                in_range = row_iota >= k
-                c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
-                b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                tc = q_k * c_sh
-                tb = q_k * b_sh
-                if p2_k is not None:
-                    tc = tc * p2_k
-                    tb = tb * p2_k
-                c = jnp.maximum(c, tc + b)
-                b = tb + b
-            ins = jnp.maximum(c, b)
+            if not has_del_end:
+                # tier 1 (see _kernel): no DEL_END in the block at this
+                # column — plain affine insertion scan
+                b = (t_mi * shift1(m, tm)
+                     + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0)))
+                for k, q_k, p2_k in a_levels:
+                    b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                    t = q_k * b_sh
+                    if p2_k is not None:
+                        t = t * p2_k
+                    b = t + b
+                ins = b
+            else:
+                del_end = (pd_b & DEL_END) != 0
+                m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
+                m_eff_top = jnp.where(del_end, jnp.maximum(tbm, tm), tm)
+                b_base = t_mi * shift1(m_eff, m_eff_top)
+                b = b_base + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0))
+                c = jnp.where(del_end, b_base + t_dd * shift1(bi, tbi), zero)
+                for k, q_k, p2_k in a_levels:
+                    in_range = row_iota >= k
+                    c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
+                    b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+                    tc = q_k * c_sh
+                    tb = q_k * b_sh
+                    if p2_k is not None:
+                        tc = tc * p2_k
+                        tb = tb * p2_k
+                    c = jnp.maximum(c, tc + b)
+                    b = tb + b
+                ins = jnp.maximum(c, b)
 
             m_ref[:] = m
             i_ref[:] = ins
@@ -593,6 +631,14 @@ def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
             bbm_out[pl.ds(j, 1), :] = bm[R - 1 : R]
             bbi_out[pl.ds(j, 1), :] = bi[R - 1 : R]
             bbd_out[pl.ds(j, 1), :] = bd[R - 1 : R]
+
+        @pl.when(flag == 1)
+        def _mid():
+            eventful_column(False)
+
+        @pl.when(flag >= 2)
+        def _slow():
+            eventful_column(True)
 
         # boundary out: this chunk's last row (branch tiles only change on
         # slow columns, and fast columns are never read back — the flags
@@ -688,19 +734,12 @@ def _pdhmm_chunk_call(flags, hap_i, pd_i, st_i, read_c, rbit_c, tmm, tmi, tmd,
     return res[0], list(res[1:7])
 
 
-def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
-                             haplen, rslen, *, r_chunk: int | None = None,
-                             lane_block: int = LANE_BLOCK,
-                             interpret: bool = False, _chunk_call=None):
-    """PDHMM forward for reads beyond the single-kernel VMEM ceiling.
-
-    The read axis relays in ``r_chunk``-row chunks: each chunk's kernel
-    resumes from the previous chunk's last-row values per column (6
-    boundary planes in HBM), the compile-once analogue of the reference
-    kernel handling any read length in one pass (pdhmm.h:1133-1290).
-    Same contract as ``pdhmm_raw_pallas``.  ``r_chunk`` defaults to the
-    largest VMEM-admissible chunk for this hap bucket (_chunk_rc).
-    """
+def chunked_prep(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+                 *, r_chunk: int | None, lane_block: int):
+    """Host-side prep shared by the single-process chunked driver and the
+    multi-host ``pdhmm_chunked_global``: transition/prior rows, PD flags,
+    read-axis padding, initial boundary planes.  Pure per-lane work — on a
+    pod every process preps its OWN lane slab."""
     ctx = ctx_mod.pdhmm_context("float32")
     f = jnp.float32
     H, P = hap.shape
@@ -738,11 +777,13 @@ def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
     haplen2 = haplen.astype(jnp.int32)[None, :]
     rslen_i = rslen.astype(jnp.int32)
 
+    # same 3-tier flags as pdhmm_raw_pallas (0 fast / 1 eventful / 2 DEL_END)
     nblocks = P // lane_block
     eventful = (pd_i != 0) | (st_i != 0)
-    flags = (
-        eventful.reshape(H, nblocks, lane_block).any(axis=2).astype(jnp.int32).T
-    )
+    has_de = (pd_i & DEL_END) != 0
+    f1 = eventful.reshape(H, nblocks, lane_block).any(axis=2)
+    f2 = has_de.reshape(H, nblocks, lane_block).any(axis=2)
+    flags = (f1.astype(jnp.int32) + f2.astype(jnp.int32)).T
 
     n_chunks = -(-R // r_chunk)
     R_pad = n_chunks * r_chunk
@@ -762,8 +803,31 @@ def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
 
     zerof = jnp.zeros((H, P), f)
     ic_plane = jnp.broadcast_to(ic, (H, P))
-    bnd = [zerof, zerof, ic_plane, zerof, zerof, zerof]
-    out = jnp.zeros((1, P), f)
+    bnd0 = [zerof, zerof, ic_plane, zerof, zerof, zerof]
+    rows = (read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd, p_match, p_mis)
+    return (flags, hap_i, pd_i, st_i, rows, ic, haplen2, rslen_i, bnd0,
+            n_chunks, r_chunk)
+
+
+def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
+                             haplen, rslen, *, r_chunk: int | None = None,
+                             lane_block: int = LANE_BLOCK,
+                             interpret: bool = False, _chunk_call=None):
+    """PDHMM forward for reads beyond the single-kernel VMEM ceiling.
+
+    The read axis relays in ``r_chunk``-row chunks: each chunk's kernel
+    resumes from the previous chunk's last-row values per column (6
+    boundary planes in HBM), the compile-once analogue of the reference
+    kernel handling any read length in one pass (pdhmm.h:1133-1290).
+    Same contract as ``pdhmm_raw_pallas``.  ``r_chunk`` defaults to the
+    largest VMEM-admissible chunk for this hap bucket (_chunk_rc).
+    """
+    H, P = hap.shape
+    (flags, hap_i, pd_i, st_i, rows, ic, haplen2, rslen_i, bnd, n_chunks,
+     r_chunk) = chunked_prep(hap, hap_pd, states, read, q, iq, dq, gcp,
+                             haplen, rslen, r_chunk=r_chunk,
+                             lane_block=lane_block)
+    out = jnp.zeros((1, P), jnp.float32)
     for c in range(n_chunks):
         r0 = c * r_chunk
         sl = slice(r0, r0 + r_chunk)
@@ -771,8 +835,7 @@ def pdhmm_raw_pallas_chunked(hap, hap_pd, states, read, q, iq, dq, gcp,
         rslen_local = (rslen_i - r0)[None, :]
         call = _chunk_call or _pdhmm_chunk_call
         part, bnd = call(
-            flags, hap_i, pd_i, st_i, read_i[sl], rbit[sl], t_mm[sl],
-            t_mi[sl], t_md[sl], t_im[sl], t_dd[sl], p_match[sl], p_mis[sl],
+            flags, hap_i, pd_i, st_i, *[a[sl] for a in rows],
             ic, haplen2, rslen_local, first, bnd,
             lane_block=lane_block, interpret=interpret,
         )

@@ -14,8 +14,10 @@ from .distributed import (
     make_global_array,
     pairhmm_raw_global,
     pairhmm_scaled_global,
+    pdhmm_chunked_global,
     pdhmm_raw_global,
     sw_forward_global,
+    sw_relay_global,
 )
 from .mesh import (
     data_parallel_mesh,
@@ -24,6 +26,7 @@ from .mesh import (
     pairhmm_raw_pallas_scaled_sharded,
     pairhmm_scaled_indexed_sharded,
     pairhmm_raw_pallas_sharded,
+    pairhmm_raw_pallas_cols_relay_sharded,
     pairhmm_raw_pallas_cols_sharded,
     pairhmm_raw_sharded,
     pdhmm_raw_pallas_chunked_sharded,
@@ -44,12 +47,15 @@ __all__ = [
     "make_global_array",
     "pairhmm_raw_global",
     "pairhmm_scaled_global",
+    "pdhmm_chunked_global",
     "pdhmm_raw_global",
     "replicate_to_host",
     "sw_forward_global",
+    "sw_relay_global",
     "pairhmm_raw_pallas_scaled_sharded",
     "pairhmm_scaled_indexed_sharded",
     "pairhmm_raw_pallas_sharded",
+    "pairhmm_raw_pallas_cols_relay_sharded",
     "pairhmm_raw_pallas_cols_sharded",
     "pairhmm_raw_sharded",
     "pdhmm_raw_pallas_chunked_sharded",

@@ -162,6 +162,16 @@ def pairhmm_raw_global(mesh, packed_local, dtype: str = "float32", *,
         per_dev_ok = (n_local > 0 and P_local % n_local == 0
                       and (P_local // n_local) % lane_block == 0)
         engine = "pallas" if dtype == "float32" and per_dev_ok else "jnp"
+        from .. import utils
+
+        if engine == "jnp" and utils.is_tpu_available():
+            # never degrade to the ~50x-slower jnp engine silently on a
+            # pod: one misconfigured lane count should be loud
+            # (GKL_TPU_STRICT_PALLAS=1 raises, api._warn_pallas_falloff)
+            from ..api import _warn_pallas_falloff
+
+            _warn_pallas_falloff("pod-auto", dtype=dtype, P_local=P_local,
+                                 n_local=n_local, lane_block=lane_block)
     if engine == "pallas" and dtype != "float32":
         raise ValueError(
             "engine='pallas' runs the float32 kernel; request "
@@ -245,3 +255,101 @@ def sw_forward_global(mesh, ref_local, alt_local, reflen_local, altlen_local,
             ga(reflen_local, 0, np.int32), ga(altlen_local, 0, np.int32),
         )
     return _fetch_local(bt, 0), _fetch_local(lastrow, 1), _fetch_local(lastcol, 0)
+
+
+def sw_relay_global(mesh, ref_local, alt_local, reflen_local, altlen_local,
+                    params, *, indel_boundary: bool = False,
+                    seg: int | None = None, lane_block: int | None = None,
+                    interpret: bool | None = None):
+    """Multi-host segment-relayed SW for references beyond one kernel span.
+
+    Pod form of ``parallel.sw_forward_pallas_relay_sharded``: the carried
+    H/F/lastrow state stays DEVICE-RESIDENT and dp-sharded across segment
+    calls (globally-sharded arrays fed straight back into the next jit —
+    no mid-loop host fetch, which a multi-process mesh cannot do), while
+    each host fetches only ITS addressable backtrack/lastcol shards per
+    segment.  Returns this host's (bt, lastrow, lastcol) lane slabs in the
+    relay layout ((P_local, N//2, M'), (M', P_local), (P_local, N))."""
+    from ..ops import sw_pallas
+    from .mesh import _sw_relay_segment_sharded_fn
+
+    lb, interp = _default_lane_block(interpret)
+    lane_block = lane_block or lb
+    if seg is None:
+        seg = sw_pallas.SW_RELAY_SEG
+    ref_local = np.asarray(ref_local)
+    N, P_local = ref_local.shape
+    assert N % seg == 0, (N, seg)
+
+    ref_i, alt_i, h0, f0, lr0, reflen2, altlen2, M = sw_pallas.relay_prolog(
+        ref_local, alt_local, reflen_local, altlen_local,
+        params.gap_open_penalty, params.gap_extend_penalty, indel_boundary)
+    key = (int(params.match_value), int(params.mismatch_penalty),
+           int(params.gap_open_penalty), int(params.gap_extend_penalty))
+    fn = _sw_relay_segment_sharded_fn(mesh, key, indel_boundary, lane_block,
+                                      interp)
+
+    def ga(a):
+        return make_global_array(np.asarray(a), mesh, axis=-1)
+
+    alt_g, reflen_g, altlen_g = ga(alt_i), ga(reflen2), ga(altlen2)
+    h, f, lr = ga(h0), ga(f0), ga(lr0)
+    bt_host = np.empty((P_local, N // 2, M), np.uint8)
+    lc_host = np.empty((P_local, N), np.int32)
+    with mesh:
+        for s0 in range(0, N, seg):
+            bt_s, lastrow, lc_s, h, f = fn(
+                ga(ref_i[s0 : s0 + seg]), alt_g, reflen_g, altlen_g,
+                h, f, lr, ga(np.full((1, P_local), s0, np.int32)))
+            lr = lastrow
+            bt_host[:, s0 // 2 : (s0 + seg) // 2] = _fetch_local(bt_s, 0)
+            lc_host[:, s0 : s0 + seg] = _fetch_local(lc_s, 0)
+    return bt_host, _fetch_local(lr, 1), lc_host
+
+
+def pdhmm_chunked_global(mesh, packed_local, hap_pd_local, states_local, *,
+                         r_chunk: int | None = None,
+                         lane_block: int | None = None,
+                         interpret: bool | None = None) -> np.ndarray:
+    """Multi-host read-axis-chunked PDHMM (any read length on a pod).
+
+    Pod form of ``parallel.pdhmm_raw_pallas_chunked_sharded``: every
+    process preps its own lane slab, the 6 boundary planes stay
+    device-resident and dp-sharded between chunk calls, and only the tiny
+    (1, P) partial sums come back per chunk.  Returns this host's raw
+    forward probabilities."""
+    from ..ops import pdhmm_pallas
+    from .mesh import _pdhmm_chunk_sharded_fn
+
+    lb, interp = _default_lane_block(interpret)
+    lane_block = lane_block or lb
+    fn = _pdhmm_chunk_sharded_fn(mesh, lane_block, interp)
+    P_local = packed_local.hap.shape[1]
+
+    (flags, hap_i, pd_i, st_i, rows, ic, haplen2, rslen_i, bnd0, n_chunks,
+     r_chunk) = pdhmm_pallas.chunked_prep(
+        packed_local.hap, np.asarray(hap_pd_local), np.asarray(states_local),
+        packed_local.read, packed_local.q, packed_local.iq, packed_local.dq,
+        packed_local.gcp, packed_local.haplen, packed_local.rslen,
+        r_chunk=r_chunk, lane_block=lane_block)
+
+    def ga(a, axis=-1):
+        return make_global_array(np.asarray(a), mesh, axis=axis)
+
+    flags_g = ga(flags, 0)  # (blocks, H): block axis shards over dp
+    hap_g, pd_g, st_g = ga(hap_i), ga(pd_i), ga(st_i)
+    ic_g, haplen_g = ga(ic), ga(haplen2)
+    bnd = [ga(b) for b in bnd0]
+    rslen_np = np.asarray(rslen_i)
+    out_local = np.zeros((1, P_local), np.float32)
+    with mesh:
+        for c in range(n_chunks):
+            r0 = c * r_chunk
+            sl = slice(r0, r0 + r_chunk)
+            first = ga(np.full((1, P_local), 1 if c == 0 else 0, np.int32))
+            rslen_local = ga((rslen_np - r0)[None, :])
+            part, bnd = fn(flags_g, hap_g, pd_g, st_g,
+                           *[ga(np.asarray(a)[sl]) for a in rows],
+                           ic_g, haplen_g, rslen_local, first, *bnd)
+            out_local += _fetch_local(part, 1)
+    return out_local[0]

@@ -144,6 +144,14 @@ def _pairhmm_pallas_sharded_fn(mesh: Mesh, kernel: str, lane_block: int,
             pairhmm_pallas_cols.pairhmm_raw_pallas_cols,
             lane_block=lane_block, interpret=interpret)
         out = P("dp")
+    elif kernel == "cols_relay":
+        # any-length path: relay state stays device-resident and dp-sharded
+        # across chunk calls (no host fetch), so it composes with
+        # multi-process meshes like every fixed-span kernel
+        inner = functools.partial(
+            pairhmm_pallas_cols.pairhmm_raw_pallas_cols_relay,
+            lane_block=lane_block, interpret=interpret)
+        out = P("dp")
     else:
         inner = functools.partial(
             pairhmm_pallas.pairhmm_raw_pallas,
@@ -282,6 +290,16 @@ def pairhmm_raw_pallas_cols_sharded(mesh: Mesh, packed, *,
                                     interpret: bool = False):
     """Column-sweep Pallas PairHMM (long haplotypes), lane-sharded."""
     return _run_pairhmm_sharded(mesh, packed, "cols", lane_block, interpret)
+
+
+def pairhmm_raw_pallas_cols_relay_sharded(mesh: Mesh, packed, *,
+                                          lane_block: int = 128,
+                                          interpret: bool = False):
+    """Read-relayed column-sweep Pallas PairHMM (any H, any R),
+    lane-sharded.  The relay's (H, P) boundary planes live on device,
+    sharded lane-wise like every other plane."""
+    return _run_pairhmm_sharded(mesh, packed, "cols_relay", lane_block,
+                                interpret)
 
 
 @functools.lru_cache(maxsize=128)

@@ -149,6 +149,29 @@ def main():
     assert np.array_equal(lc_l, np.asarray(lc_r)[sl]), "sw lastcol mismatch"
     print("SW_BITPARITY ok")
 
+    # --- pod entries for LONG sequences (SURVEY §5.8 covers them too):
+    # relay/chunked with carried state device-resident and dp-sharded
+    # between segment/chunk calls — no mid-loop host fetch
+    bt_g, lr_g, lc_g = parallel.sw_relay_global(
+        mesh, hap[:, sl], read[:, sl], haplen[sl], rslen[sl], params,
+        seg=8, lane_block=8, interpret=True)
+    bt_r2, lr_r2, lc_r2 = sw_pallas.sw_forward_pallas_relay(
+        hap, read, haplen, rslen, 200, -150, -260, -11,
+        indel_boundary=False, seg=8, lane_block=8, interpret=True)
+    assert np.array_equal(bt_g, np.asarray(bt_r2)[sl]), "sw relay bt"
+    assert np.array_equal(lr_g, np.asarray(lr_r2)[:, sl]), "sw relay lastrow"
+    assert np.array_equal(lc_g, np.asarray(lc_r2)[sl]), "sw relay lastcol"
+    print("SW_RELAY_BITPARITY ok")
+
+    pdc_g = parallel.pdhmm_chunked_global(
+        mesh, local, hap_pd[:, sl], states[:, sl], r_chunk=8, lane_block=8,
+        interpret=True)
+    pdc_r = np.asarray(pdhmm_pallas.pdhmm_raw_pallas_chunked(
+        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+        r_chunk=8, lane_block=8, interpret=True))[sl]
+    assert np.array_equal(pdc_g, pdc_r), "pdhmm chunked mismatch"
+    print("PDHMM_CHUNKED_BITPARITY ok")
+
     # API-level: PairHMM(mesh=global_mesh) — the full engine (packing +
     # scaled kernel path or jnp fallback + rescue) transparently multi-host
     from gkl_tpu import HaplotypeData, PairHMM, ReadData
@@ -164,6 +187,25 @@ def main():
     api_local = PairHMM().compute_likelihoods(reads, hps)
     np.testing.assert_allclose(api_global, api_local, rtol=0, atol=5e-5)
     print("API_GLOBAL ok")
+
+    # --- streaming + multi-host composed: the BAM pipeline runs with a
+    # multi-process mesh (each process decodes the stream identically and
+    # feeds its lane slab per chunk via _feed_global/host_local_slice) and
+    # must reproduce the single-process pipeline's numbers
+    from gkl_tpu import pipeline
+
+    bam_path = os.path.join(os.path.dirname(__file__), "data",
+                            "HiSeq.1mb.1RG.2k_lines.bam")
+    hps2 = [HaplotypeData(bases[rng2.integers(0, 4, 48)]) for _ in range(2)]
+    got = list(pipeline.pairhmm_stream(
+        bam_path, hps2, chunk_reads=64, limit=128, hmm=PairHMM(mesh=mesh)))
+    want = list(pipeline.pairhmm_stream(
+        bam_path, hps2, chunk_reads=64, limit=128, hmm=PairHMM()))
+    assert [c.read_names for c in got] == [c.read_names for c in want]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g.likelihoods, w.likelihoods,
+                                   rtol=0, atol=5e-5)
+    print("PIPELINE_GLOBAL ok")
     sys.stdout.flush()
 
 

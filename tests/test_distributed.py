@@ -393,3 +393,42 @@ def test_raw_global_auto_engine_binds_per_device():
     with pytest.raises(ValueError, match="float32"):
         distributed.pairhmm_raw_global(mesh, packed, dtype="float64",
                                        engine="pallas")
+
+
+def test_relay_chunked_global_entries_match_local():
+    """Pod entries for LONG sequences: sw_relay_global / pdhmm_chunked_global
+    keep carried state device-resident and dp-sharded across segment/chunk
+    calls (a multi-process mesh cannot host-fetch mid-loop) and must match
+    the single-device relay engines bit-for-bit."""
+    from gkl_tpu.api_sw import SWParameters
+    from gkl_tpu.ops import pdhmm as pdhmm_ops
+    from gkl_tpu.ops import pdhmm_pallas, sw_pallas
+    from gkl_tpu.parallel import distributed
+
+    mesh = parallel.data_parallel_mesh(8)
+    P = 8 * 8
+    packed = _packed_batch(P, H=24, R=16)
+    params = SWParameters(200, -150, -260, -11)
+    bt, lr, lc = distributed.sw_relay_global(
+        mesh, packed.hap, packed.read, packed.haplen, packed.rslen, params,
+        seg=8, lane_block=8, interpret=True)
+    bt2, lr2, lc2 = sw_pallas.sw_forward_pallas_relay(
+        packed.hap, packed.read, packed.haplen, packed.rslen,
+        200, -150, -260, -11, indel_boundary=False, seg=8, lane_block=8,
+        interpret=True)
+    np.testing.assert_array_equal(bt, np.asarray(bt2))
+    np.testing.assert_array_equal(lr, np.asarray(lr2))
+    np.testing.assert_array_equal(lc, np.asarray(lc2))
+
+    hap_pd = np.zeros_like(packed.hap)
+    hap_pd[4, ::2] = 2  # DEL_START
+    hap_pd[7, ::2] = 4  # DEL_END
+    states = pdhmm_ops.column_states(hap_pd)
+    raw_g = distributed.pdhmm_chunked_global(
+        mesh, packed, hap_pd, states, r_chunk=8, lane_block=8,
+        interpret=True)
+    raw_l = np.asarray(pdhmm_pallas.pdhmm_raw_pallas_chunked(
+        packed.hap, hap_pd, states, packed.read, packed.q, packed.iq,
+        packed.dq, packed.gcp, packed.haplen, packed.rslen, r_chunk=8,
+        lane_block=8, interpret=True))
+    np.testing.assert_array_equal(raw_g, raw_l)

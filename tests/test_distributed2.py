@@ -24,8 +24,8 @@ def _free_port() -> int:
 
 
 def test_two_process_pairhmm_global():
-    # no pytest-timeout in this image; the communicate(timeout=240) below
-    # is the real guard
+    # no pytest-timeout in this image; the communicate(timeout=420) below
+    # is the real guard (the worker runs nine legs on a 1-core host)
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -41,7 +41,7 @@ def test_two_process_pairhmm_global():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -65,5 +65,7 @@ def test_two_process_pairhmm_global():
         for marker in ("SCALED_BITPARITY ok", "ROWS_BITPARITY ok",
                        "INDEXED_BITPARITY ok",
                        "PDHMM_BITPARITY ok", "SW_BITPARITY ok",
-                       "API_GLOBAL ok"):
+                       "SW_RELAY_BITPARITY ok",
+                       "PDHMM_CHUNKED_BITPARITY ok",
+                       "API_GLOBAL ok", "PIPELINE_GLOBAL ok"):
             assert marker in out, (marker, out)

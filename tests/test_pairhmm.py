@@ -298,3 +298,63 @@ def test_rescue_is_lane_granular(monkeypatch):
                   lane_multiple=8).compute_likelihoods(
         [reads[i] for i in deep_lanes], haps)
     np.testing.assert_allclose(out[list(deep_lanes)], f64, rtol=0, atol=1e-9)
+
+
+def test_long_pair_dispatch_uses_relay(monkeypatch):
+    """Pairs past BOTH the rows-kernel hap cap and the cols-kernel read cap
+    must route to the read-relayed cols kernel, not the ~50x-slower jnp
+    scan (the round-3 long-read cliff).  Caps are shrunk so small shapes
+    exercise the big-shape routing."""
+    from gkl_tpu import utils
+    from gkl_tpu.ops import pairhmm_pallas_cols
+
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+    monkeypatch.setattr(PairHMM, "PALLAS_MAX_HAP", 16)
+    monkeypatch.setattr(PairHMM, "COLS_MAX_READ", 8)
+    calls = {}
+    orig = pairhmm_pallas_cols.pairhmm_raw_pallas_cols_relay
+
+    def spy(*args, lane_block=128, **kw):
+        calls["relay"] = True
+        return orig(*args, lane_block=8, r_chunk=8, interpret=True)
+
+    monkeypatch.setattr(pairhmm_pallas_cols, "pairhmm_raw_pallas_cols_relay",
+                        spy)
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, 24)]  # bucket 24 > mocked hap cap 16
+    reads = [ReadData(hap[:16].copy(),  # bucket 16 > mocked read cap 8
+                      *(np.full(16, v, np.uint8) for v in (30, 40, 40, 10)))
+             for _ in range(3)]
+    haps = [HaplotypeData(hap)]
+    want = PairHMM().compute_likelihoods(reads, haps)  # jnp reference path
+
+    monkeypatch.setattr(PairHMM, "_use_pallas",
+                        classmethod(lambda cls, hap_len=0: hap_len <= 16))
+    got = PairHMM(lane_multiple=8).compute_likelihoods(reads, haps)
+    assert calls.get("relay"), "relay kernel was not dispatched"
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_pallas_falloff_warns_and_strict_raises(monkeypatch, capsys):
+    """On a TPU backend, degrading to the jnp scan must be loud: a stderr
+    diagnostic by default, a RuntimeError under GKL_TPU_STRICT_PALLAS=1
+    (VERDICT r3: the silent ~50x failure mode)."""
+    from gkl_tpu import utils
+
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+    monkeypatch.setenv("GKL_TPU_PALLAS", "0")  # force the fall-off
+
+    cases = [
+        ReadData(np.frombuffer(b"ACGTACGT", np.uint8),
+                 *(np.full(8, v, np.uint8) for v in (30, 40, 40, 10)))
+    ]
+    haps = [HaplotypeData(np.frombuffer(b"ACGTACGT", np.uint8))]
+    out = PairHMM(lane_multiple=8).compute_likelihoods(cases, haps)
+    assert np.isfinite(out).all()
+    assert "fell off the Pallas fast path" in capsys.readouterr().err
+
+    monkeypatch.setenv("GKL_TPU_STRICT_PALLAS", "1")
+    with pytest.raises(RuntimeError, match="Pallas fast path"):
+        PairHMM(lane_multiple=8).compute_likelihoods(cases, haps)

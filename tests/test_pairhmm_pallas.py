@@ -129,3 +129,59 @@ def test_scaled_kernel_deep_lanes_vs_f64():
     res64 = np.log10(raw64) - float(C.pairhmm_context("float64").LOG10_INITIAL_CONSTANT)
     assert res64[:8].max() < -200  # genuinely deep
     np.testing.assert_allclose(res_scaled[:8], res64[:8], atol=1e-4)
+
+
+def test_cols_relay_matches_jnp_and_cols():
+    """The read-relayed column sweep (any H x any R, VMEM-free boundary
+    planes carried in HBM) matches the jnp engine across chunk counts, and
+    is bit-identical to the plain cols kernel when one chunk covers the
+    whole read."""
+    from gkl_tpu.ops.pairhmm_pallas_cols import (
+        pairhmm_raw_pallas_cols, pairhmm_raw_pallas_cols_relay)
+
+    args = _batch(R=24, H=48, P=8, seed=5)
+    want = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    one = np.asarray(pairhmm_raw_pallas_cols(*args, lane_block=8,
+                                             interpret=True))
+    for r_chunk in (8, 16, 24):
+        got = np.asarray(pairhmm_raw_pallas_cols_relay(
+            *args, lane_block=8, r_chunk=r_chunk, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5,
+                                   err_msg=str(r_chunk))
+    np.testing.assert_array_equal(
+        np.asarray(pairhmm_raw_pallas_cols_relay(*args, lane_block=8,
+                                                 r_chunk=24, interpret=True)),
+        one)
+
+
+def test_cols_relay_deep_lanes():
+    """Relay chunk boundaries must not lose deep-underflow contributions:
+    all-mismatch lanes keep f32-faithful values across chunk counts (the
+    _split_coeff ladder spans only chunk rows, so this pins the
+    boundary-seed handling)."""
+    from gkl_tpu.ops.pairhmm_pallas_cols import pairhmm_raw_pallas_cols_relay
+
+    # uniform hap 'A' vs read 'C': EVERY diagonal mismatches everywhere
+    # (shifted alignments can't leak matches), so all paths pay ~16
+    # 1e-4-class factors -> raw ~7e-32: deep under MIN_ACCEPTED.  Depth is
+    # chosen ABOVE the relay's absolute noise floor: boundary-plane
+    # components under f32-min-normal flush at each chunk boundary
+    # (~1e-38/chunk absolute); lanes needing more depth are f64-rescued by
+    # the API regardless of engine.
+    R, H, P = 16, 16, 8
+    hap = np.full((H, P), ord("A"), np.uint8)
+    read = np.full((R, P), ord("C"), np.uint8)
+    q = np.full((R, P), 42, np.uint8)
+    iq = np.full((R, P), 42, np.uint8)
+    dq = np.full((R, P), 42, np.uint8)
+    gcp = np.full((R, P), 42, np.uint8)
+    haplen = np.full(P, H, np.int32)
+    rslen = np.full(P, R, np.int32)
+    args = (hap, read, q, iq, dq, gcp, haplen, rslen)
+    want = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    assert np.all(want < 1e-28)  # genuinely deep (still representable f32)
+    for r_chunk in (4, 8, 16):
+        got = np.asarray(pairhmm_raw_pallas_cols_relay(
+            *args, lane_block=8, r_chunk=r_chunk, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5,
+                                   err_msg=str(r_chunk))
