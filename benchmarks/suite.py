@@ -268,6 +268,8 @@ def bench_sw(on_tpu, quick):
 
 
 def bench_codec(quick):
+    import zlib
+
     from gkl_tpu import compression as comp
 
     rng = np.random.default_rng(0)
@@ -277,16 +279,28 @@ def bench_codec(quick):
     # host core count so round-over-round MB/s compares like-for-like (the
     # batch pools scale with cores; driver hosts vary)
     cores = os.cpu_count() or 1
+    reps = 1 if quick else 3
     for level in (1, 6):
         t0 = time.perf_counter()
         compressed = comp.deflate_blocks(blocks, level=level)
         dt = time.perf_counter() - t0
         _emit(f"deflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
               ratio=sum(map(len, compressed)) / n, cores=cores)
-        t0 = time.perf_counter()
-        comp.inflate_blocks(compressed)
-        dt = time.perf_counter() - t0
-        _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s", cores=cores)
+        dt = dz = 9e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            comp.inflate_blocks(compressed)
+            dt = min(dt, time.perf_counter() - t0)
+            # single-core zlib on the same blocks: the reference replaces
+            # exactly this engine with ISA-L (IntelInflater.cc), so the
+            # per-core speedup over zlib is the contract number
+            t0 = time.perf_counter()
+            for b in compressed:
+                zlib.decompressobj(-zlib.MAX_WBITS).decompress(b)
+            dz = min(dz, time.perf_counter() - t0)
+        _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
+              cores=cores, zlib_mb_per_sec=n / dz / 1e6,
+              vs_zlib_per_core=dz / (dt * cores))
 
 
 def _replicated_bam(bam_path, copies):

@@ -48,6 +48,7 @@ def _native():
             lib.gkl_deflate_bound.argtypes = [ctypes.c_int]
             lib.gkl_deflate_batch.restype = None
             lib.gkl_inflate_batch.restype = None
+            lib.gkl_inflate_batch2.restype = None
         _lib = lib
     return _lib
 
@@ -337,32 +338,53 @@ def deflate_blocks(blocks: list[bytes], level: int = 6, nowrap: bool = True, thr
     return [out[i * stride : i * stride + out_lens[i]].tobytes() for i in range(n)]
 
 
-def inflate_blocks(blocks: list[bytes], nowrap: bool = True, threads: int | None = None, max_block: int = 1 << 16) -> list[bytes]:
-    """Decompress many independent blocks in parallel."""
+def inflate_blocks_packed(blocks: list[bytes], nowrap: bool = True,
+                          threads: int | None = None,
+                          max_block: int = 1 << 16, crcs: bool = False):
+    """Decompress many independent blocks in parallel into ONE strided
+    buffer — the zero-assembly entry the BGZF reader consumes.
+
+    Returns ``(out, out_lens, stride, out_crcs)``: block ``i``'s payload is
+    ``out[i*stride : i*stride + out_lens[i]]``.  Inputs are passed by
+    pointer (no host-side join), and with ``crcs=True`` each block's CRC32
+    is computed by the worker threads while the payload is cache-hot, so
+    the BGZF verify needs no second host pass.  Returns None when native
+    code is unavailable or any block fails (callers fall back)."""
     lib = _native()
     if lib is None or not blocks:
-        return [raw_inflate(b, nowrap) for b in blocks]
+        return None
     threads = threads or _default_threads()
     n = len(blocks)
-    packed = np.frombuffer(b"".join(blocks), np.uint8)
+    ins = (ctypes.c_char_p * n)(*blocks)
     lens = np.array([len(b) for b in blocks], np.int32)
-    offsets = np.zeros(n, np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
     out = np.empty(n * max_block, np.uint8)
     out_lens = np.empty(n, np.int32)
+    out_crcs = np.empty(n, np.uint32) if crcs else None
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.gkl_inflate_batch(
-        packed.ctypes.data_as(u8p),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.gkl_inflate_batch2(
+        ctypes.cast(ins, ctypes.POINTER(ctypes.c_char_p)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n,
         out.ctypes.data_as(u8p),
         ctypes.c_int64(max_block),
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_crcs.ctypes.data_as(u32p) if crcs else None,
         1 if nowrap else 0,
         threads,
     )
     if np.any(out_lens < 0):
-        # fall back one by one with growing buffers
+        return None
+    return out, out_lens, max_block, out_crcs
+
+
+def inflate_blocks(blocks: list[bytes], nowrap: bool = True, threads: int | None = None, max_block: int = 1 << 16) -> list[bytes]:
+    """Decompress many independent blocks in parallel."""
+    res = inflate_blocks_packed(blocks, nowrap, threads, max_block)
+    if res is None:
+        # no native codec, or a block failed: one by one (growing buffers,
+        # zlib error semantics)
         return [raw_inflate(b, nowrap) for b in blocks]
-    return [out[i * max_block : i * max_block + out_lens[i]].tobytes() for i in range(n)]
+    out, out_lens, stride, _ = res
+    return [out[i * stride : i * stride + out_lens[i]].tobytes()
+            for i in range(len(blocks))]

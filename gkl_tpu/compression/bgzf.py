@@ -61,6 +61,41 @@ def decompress_block(block: bytes) -> bytes:
     return out
 
 
+def _inflate_verify_join(cdatas, metas, threads):
+    """Decode + CRC-verify + assemble a batch of BGZF payloads.
+
+    Fast path: the packed batch entry decodes into one strided buffer with
+    the per-block CRC32 computed by the worker threads while the payload is
+    cache-hot, then ONE scatter assembles the result (no per-block bytes +
+    join + separate host CRC pass).  Returns a bytes-like (bytearray)."""
+    import numpy as np
+
+    from . import inflate_blocks_packed
+
+    res = inflate_blocks_packed(cdatas, threads=threads, crcs=True)
+    if res is None:
+        outs = inflate_blocks(cdatas, threads=threads)
+        for out, (crc, isize) in zip(outs, metas):
+            if len(out) != isize or (zlib.crc32(out) & 0xFFFFFFFF) != crc:
+                raise ValueError("BGZF block corrupt")
+        return b"".join(outs)
+    out, out_lens, stride, out_crcs = res
+    want = np.asarray(metas, np.int64)  # (n, 2): crc, isize
+    if (not np.array_equal(out_lens.astype(np.int64), want[:, 1])
+            or not np.array_equal(out_crcs.astype(np.int64), want[:, 0])):
+        raise ValueError("BGZF block corrupt")
+    total = int(out_lens.sum())
+    buf = bytearray(total)
+    mv = memoryview(buf)
+    ov = memoryview(out)
+    o = 0
+    for i in range(len(cdatas)):
+        ln = int(out_lens[i])
+        mv[o : o + ln] = ov[i * stride : i * stride + ln]
+        o += ln
+    return buf
+
+
 def decompress(data: bytes, threads: int | None = None) -> bytes:
     """Decompress a whole BGZF stream (parallel across blocks)."""
     blocks = split_blocks(data)
@@ -70,11 +105,7 @@ def decompress(data: bytes, threads: int | None = None) -> bytes:
         xlen = struct.unpack_from("<H", b, 10)[0]
         cdatas.append(b[12 + xlen : -8])
         metas.append(struct.unpack_from("<II", b, len(b) - 8))
-    outs = inflate_blocks(cdatas, threads=threads)
-    for out, (crc, isize) in zip(outs, metas):
-        if len(out) != isize or (zlib.crc32(out) & 0xFFFFFFFF) != crc:
-            raise ValueError("BGZF block corrupt")
-    return b"".join(outs)
+    return _inflate_verify_join(cdatas, metas, threads)
 
 
 def _frame(cdata: bytes, raw: bytes) -> bytes:
@@ -162,11 +193,7 @@ def iter_decompressed(path_or_file, threads: int | None = None,
                 xlen = struct.unpack_from("<H", b, 10)[0]
                 cdatas.append(b[12 + xlen : -8])
                 metas.append(struct.unpack_from("<II", b, len(b) - 8))
-            outs = inflate_blocks(cdatas, threads=threads)
-            for out, (crc, isize) in zip(outs, metas):
-                if len(out) != isize or (zlib.crc32(out) & 0xFFFFFFFF) != crc:
-                    raise ValueError("BGZF block corrupt")
-            yield b"".join(outs)
+            yield _inflate_verify_join(cdatas, metas, threads)
         if rem:
             raise ValueError("truncated BGZF stream (incomplete trailing member)")
     finally:

@@ -201,4 +201,53 @@ void gkl_inflate_batch(const uint8_t* in, const int64_t* in_offsets,
   for (auto& th : threads) th.join();
 }
 
+// Pointer-array batch decompress: like gkl_inflate_batch but each block is
+// addressed directly (no host-side join into one packed buffer), and the
+// workers optionally compute each decoded block's CRC32 (out_crcs != null)
+// while the output is still cache-hot — the BGZF reader then verifies
+// without another full pass over the payload.
+void gkl_inflate_batch2(const uint8_t* const* ins, const int32_t* in_lens,
+                        int n, uint8_t* out, int64_t out_stride,
+                        int32_t* out_lens, uint32_t* out_crcs, int nowrap,
+                        int n_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(2);
+      if (i >= n) return;
+      if (nowrap && i + 1 < n && fast_inflate_enabled()) {
+        int r1, r2;
+        gkl_fast_inflate2(ins[i], in_lens[i], out + (int64_t)i * out_stride,
+                          (int)out_stride, ins[i + 1], in_lens[i + 1],
+                          out + (int64_t)(i + 1) * out_stride,
+                          (int)out_stride, &r1, &r2);
+        out_lens[i] = r1 >= 0 ? r1 : do_inflate(
+            ins[i], in_lens[i], out + (int64_t)i * out_stride,
+            (int)out_stride, nowrap);
+        out_lens[i + 1] = r2 >= 0 ? r2 : do_inflate(
+            ins[i + 1], in_lens[i + 1],
+            out + (int64_t)(i + 1) * out_stride, (int)out_stride, nowrap);
+      } else {
+        for (int k = i; k < i + 2 && k < n; ++k)
+          out_lens[k] = do_inflate(ins[k], in_lens[k],
+                                   out + (int64_t)k * out_stride,
+                                   (int)out_stride, nowrap);
+      }
+      if (out_crcs != nullptr) {
+        for (int k = i; k < i + 2 && k < n; ++k)
+          if (out_lens[k] >= 0)
+            out_crcs[k] = (uint32_t)crc32(
+                0L, out + (int64_t)k * out_stride, (uInt)out_lens[k]);
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

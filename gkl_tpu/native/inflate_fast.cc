@@ -13,18 +13,21 @@
 //  * two-level canonical Huffman tables: a root table indexed by the low
 //    ROOT bits of the accumulator (DEFLATE codes are stored MSB-first in
 //    LSB-first bytes, so table indices are bit-reversed codes) with
-//    appended sub-tables for codes longer than ROOT (roots 11/10 — most
-//    length and distance codes resolve in one load);
+//    appended sub-tables for codes longer than ROOT (roots 9/8: small
+//    enough to stay cache-resident against the streaming output, and
+//    genomic lit/len/dist codes still mostly resolve in one load);
 //  * root-level literal PAIRS: two short literal codes fused into one
 //    table entry (genomic alphabets give 2-4-bit literal codes);
 //  * match extras extracted from a SAVED accumulator copy so the live
 //    accumulator sees one fused code+extra shift per code;
-//  * match copies in 16/8-byte chunks (overlap-safe by distance class;
-//    short periods seed once then double the window);
+//  * match copies as overlap-safe 16-byte chunks whenever len <= dist
+//    (one predictable branch; the <= 15-byte overrun stays inside the
+//    hot-loop margin), short periods seed once then double the window;
 //  * TWO-STREAM INTERLEAVING (gkl_fast_inflate2): independent BGZF blocks
 //    decode in one loop, one symbol-step each per iteration, so the two
 //    serial acc→load→shift dependency chains overlap in the out-of-order
-//    window — the batch API pairs blocks per worker.
+//    window — the batch API pairs blocks per worker (measured ~+11-16%
+//    over back-to-back on match-heavy blocks; register pressure caps it).
 //
 // Contract: gkl_fast_inflate(in, n, out, out_cap) returns bytes written,
 // -1 on malformed input or insufficient out_cap (the caller falls back to
@@ -52,8 +55,8 @@ inline unsigned e_val(Entry e) { return e & 0xFFFFu; }
 
 constexpr Entry kInvalid = 0;  // bits == 0 marks an unreachable index
 
-constexpr int kRootLit = 11;
-constexpr int kRootDist = 10;
+constexpr int kRootLit = 9;
+constexpr int kRootDist = 8;
 constexpr int kMaxRoot = 12;  // build_table scratch sizing bound
 // zlib's ENOUGH analysis bounds two-level tables at 852 (root 9) / 592
 // (root 6) entries; these capacities are comfortably past the equivalents
@@ -479,19 +482,155 @@ inline void hot_store(const Hot& h, Ctx& c) {
     }                                                                       \
   } while (0)
 
-// Fast loop for one stream; leaves state ST_HEADER/ST_DONE on block end,
-// ST_HUFF when margins force the careful loop, ST_ERR on error.
+// One hot-loop step: decode one symbol (a literal group with its burst, or
+// one match).  Returns 0 = keep going (``e`` holds the next carried entry),
+// 1 = end of block, -1 = error, 2 = tail handoff to the careful loop (the
+// step completed but the next refill would cross the input margin).
 //
 // Software-pipelined: the next litlen entry is loaded BEFORE the current
 // match copy executes, so the table-load latency overlaps the copy; the
-// top-of-loop refill only ORs new bytes into the accumulator's HIGH bits,
+// top-of-step refill only ORs new bytes into the accumulator's HIGH bits,
 // so a carried entry (loaded when >= kRootLit bits were valid) stays
 // correct across it.
-void hot_loop(Ctx& c) {
-  Hot h;
-  hot_load(h, c);
+__attribute__((always_inline)) inline int hot_step(Hot& h, Entry& e) {
   constexpr uint32_t lmask = (1u << kRootLit) - 1u;
   constexpr uint32_t dmask = (1u << kRootDist) - 1u;
+  unsigned bits, ex, t;
+  int len;
+  uint64_t saved;
+  // budget for the worst-case symbol (lit/len code 15 + len extra 5 +
+  // dist code 15-via-subtable + dist extra 13 = 48); the carried entry's
+  // index bits are already valid, the refill only appends above them
+  GKL_HOT_REFILL(h);
+  if (__builtin_expect(e_type(e) == 3, 0))
+    e = h.lit[e_val(e) + ((h.acc >> kRootLit) & ((1u << e_extra(e)) - 1u))];
+  bits = e_bits(e);
+  if (bits == 0) return -1;
+  t = e_type(e);
+  if (t == 1) goto match;  // matches dominate genomic blocks
+  h.acc >>= bits;
+  h.nbits -= (int)bits;
+  if (t == 2) return 1;
+  {
+    unsigned v = e_val(e);
+    h.out[h.op] = (uint8_t)v;          // unconditional pair store; the
+    h.out[h.op + 1] = (uint8_t)(v >> 8);  // margin covers the dead byte
+    h.op += (int)e_extra(e);
+    // burst: more literal groups from the same refill window (each
+    // costs one table load; carried non-literals skip the reload).
+    // Fused pairs of short genomic codes run 4-6 bits per group, so up
+    // to 8 groups (16 bytes) fit one 48-bit window
+    for (int k = 0; k < 7 && h.nbits >= 15; ++k) {
+      e = h.lit[h.acc & lmask];
+      bits = e_bits(e);
+      if (e_type(e) != 0) {
+        // lit -> match transition without bouncing through the outer
+        // loop: top the window back up (margin-checked) and fall into
+        // the match body directly
+        if (e_type(e) == 1 && bits != 0) {
+          if (h.nbits < 48) {
+            if (h.pos > h.in_fast) return 0;  // carried; careful loop
+            GKL_HOT_REFILL(h);
+          }
+          goto match;
+        }
+        return 0;  // carried entry (eob / subtable / invalid)
+      }
+      if (bits == 0) return 0;
+      h.acc >>= bits;
+      h.nbits -= (int)bits;
+      v = e_val(e);
+      h.out[h.op] = (uint8_t)v;
+      h.out[h.op + 1] = (uint8_t)(v >> 8);
+      h.op += (int)e_extra(e);
+    }
+    // the top refill can have advanced pos to n-1, so re-check before
+    // refilling again; past the margin the caller exits to the careful
+    // loop at this (consistent) symbol boundary
+    if (h.pos <= h.in_fast) {
+      GKL_HOT_REFILL(h);
+      e = h.lit[h.acc & lmask];
+    }
+    return 0;
+  }
+match:
+  // length + distance, extras from a SAVED accumulator copy: ONE fused
+  // code+extra shift per code on the live accumulator (the len code's
+  // consume is folded in here too, off the dependency chain)
+  ex = e_extra(e);
+  saved = h.acc >> bits;
+  h.acc >>= bits + ex;
+  h.nbits -= (int)(bits + ex);
+  len = (int)e_val(e) + (int)(saved & ((1u << ex) - 1u));
+  Entry de = h.dist[h.acc & dmask];
+  if (__builtin_expect(e_type(de) == 3, 0))
+    de = h.dist[e_val(de) +
+                ((h.acc >> kRootDist) & ((1u << e_extra(de)) - 1u))];
+  bits = e_bits(de);
+  if (bits == 0 || e_type(de) != 1) return -1;
+  ex = e_extra(de);
+  saved = h.acc >> bits;
+  h.acc >>= bits + ex;
+  h.nbits -= (int)(bits + ex);
+  int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
+  if (__builtin_expect(dist > h.op, 0)) return -1;
+  // preload the next entry before the copy; top up first if the match
+  // consumed into the root-index bits (rare: only 43-bit symbols).  If
+  // the refill would read past the tail margin, run the copy and hand
+  // the stream to the careful loop at this symbol boundary instead.
+  bool tail = false;
+  if (__builtin_expect(h.nbits < kRootLit, 0)) {
+    if (__builtin_expect(h.pos > h.in_fast, 0))
+      tail = true;
+    else
+      GKL_HOT_REFILL(h);
+  }
+  if (!tail) e = h.lit[h.acc & lmask];
+  uint8_t* dst = h.out + h.op;
+  const uint8_t* src = dst - dist;
+  h.op += len;
+  if (__builtin_expect(len <= dist, 1)) {
+    // non-self-overlapping: 16-byte chunks regardless of distance.  The
+    // up-to-15-byte overrun writes scratch into [dst+len, dst+len+15)
+    // (inside the hot-loop margin, overwritten by subsequent output) and
+    // its reads stay within already-produced output — so ONE predictable
+    // branch replaces the distance-class dispatch.  Load-then-store via a
+    // local keeps the chunk defined when dist < 16 (the regions then
+    // overlap; this compiles to one 16B load + 16B store).
+    do {
+      uint8_t tmp16[16];
+      std::memcpy(tmp16, src, 16);
+      std::memcpy(dst, tmp16, 16);
+      dst += 16;
+      src += 16;
+      len -= 16;
+    } while (len > 0);
+  } else if (dist >= 8) {
+    do {
+      std::memcpy(dst, src, 8);
+      dst += 8;
+      src += 8;
+      len -= 8;
+    } while (len > 0);
+  } else {
+    // short period: seed one period, then double the window
+    for (int k = 0; k < dist; ++k) dst[k] = src[k];
+    int have = dist;
+    while (have < len) {
+      int c2 = have < len - have ? have : len - have;
+      std::memcpy(dst + have, dst, (size_t)c2);
+      have += c2;
+    }
+  }
+  return tail ? 2 : 0;
+}
+
+// Fast loop for one stream; leaves state ST_HEADER/ST_DONE on block end,
+// ST_HUFF when margins force the careful loop, ST_ERR on error.
+void hot_loop(Ctx& c) {
+  constexpr uint32_t lmask = (1u << kRootLit) - 1u;
+  Hot h;
+  hot_load(h, c);
   int r = 0;
   // every GKL_HOT_REFILL memcpys 8 bytes at pos, so each one must see
   // pos <= in_fast (= n-8); near the tail the careful loop takes over
@@ -502,114 +641,56 @@ void hot_loop(Ctx& c) {
   GKL_HOT_REFILL(h);
   Entry e = h.lit[h.acc & lmask];
   while (h.pos <= h.in_fast && h.op <= h.out_fast) {
-    // budget for the worst-case symbol (lit/len code 15 + len extra 5 +
-    // dist code 15-via-subtable + dist extra 13 = 48); the carried entry's
-    // index bits are already valid, the refill only appends above them
-    GKL_HOT_REFILL(h);
-    if (__builtin_expect(e_type(e) == 3, 0))
-      e = h.lit[e_val(e) + ((h.acc >> kRootLit) & ((1u << e_extra(e)) - 1u))];
-    unsigned bits = e_bits(e);
-    if (bits == 0) { r = -1; break; }
-    h.acc >>= bits;
-    h.nbits -= (int)bits;
-    unsigned t = e_type(e);
-    if (t == 0) {
-      unsigned v = e_val(e);
-      h.out[h.op] = (uint8_t)v;          // unconditional pair store; the
-      h.out[h.op + 1] = (uint8_t)(v >> 8);  // margin covers the dead byte
-      h.op += (int)e_extra(e);
-      // burst: more literal groups from the same refill window (each
-      // costs one table load; carried non-literals skip the reload).
-      // Fused pairs of short genomic codes run 4-6 bits per group, so up
-      // to 8 groups (16 bytes) fit one 48-bit window
-      for (int k = 0; k < 7 && h.nbits >= 15; ++k) {
-        e = h.lit[h.acc & lmask];
-        if (e_type(e) != 0 || e_bits(e) == 0) goto carried;
-        bits = e_bits(e);
-        h.acc >>= bits;
-        h.nbits -= (int)bits;
-        v = e_val(e);
-        h.out[h.op] = (uint8_t)v;
-        h.out[h.op + 1] = (uint8_t)(v >> 8);
-        h.op += (int)e_extra(e);
-      }
-      // the top refill can have advanced pos to n-1, so re-check before
-      // refilling again; past the margin the while condition exits to the
-      // careful loop at this (consistent) symbol boundary
-      if (h.pos <= h.in_fast) {
-        GKL_HOT_REFILL(h);
-        e = h.lit[h.acc & lmask];
-      }
-    carried:
-      continue;
-    }
-    if (t == 2) { r = 1; break; }
-    // length + distance (extras from a SAVED accumulator copy: one fused
-    // shift per code on the live accumulator)
-    unsigned ex = e_extra(e);
-    uint64_t saved = h.acc;
-    h.acc >>= ex;
-    h.nbits -= (int)ex;
-    int len = (int)e_val(e) + (int)(saved & ((1u << ex) - 1u));
-    Entry de = h.dist[h.acc & dmask];
-    if (__builtin_expect(e_type(de) == 3, 0))
-      de = h.dist[e_val(de) +
-                  ((h.acc >> kRootDist) & ((1u << e_extra(de)) - 1u))];
-    bits = e_bits(de);
-    if (bits == 0 || e_type(de) != 1) { r = -1; break; }
-    ex = e_extra(de);
-    saved = h.acc >> bits;
-    h.acc >>= bits + ex;
-    h.nbits -= (int)(bits + ex);
-    int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
-    if (__builtin_expect(dist > h.op, 0)) { r = -1; break; }
-    // preload the next entry before the copy; top up first if the match
-    // consumed into the root-index bits (rare: only 43-bit symbols).  If
-    // the refill would read past the tail margin, run the copy and hand
-    // the stream to the careful loop at this symbol boundary instead.
-    bool tail = false;
-    if (__builtin_expect(h.nbits < kRootLit, 0)) {
-      if (__builtin_expect(h.pos > h.in_fast, 0))
-        tail = true;
-      else
-        GKL_HOT_REFILL(h);
-    }
-    if (!tail) e = h.lit[h.acc & lmask];
-    uint8_t* dst = h.out + h.op;
-    const uint8_t* src = dst - dist;
-    h.op += len;
-    if (dist >= 16) {
-      do {
-        std::memcpy(dst, src, 16);
-        dst += 16;
-        src += 16;
-        len -= 16;
-      } while (len > 0);
-    } else if (dist >= 8) {
-      do {
-        std::memcpy(dst, src, 8);
-        dst += 8;
-        src += 8;
-        len -= 8;
-      } while (len > 0);
-    } else {
-      // short period: seed one period, then double the window
-      for (int k = 0; k < dist; ++k) dst[k] = src[k];
-      int have = dist;
-      while (have < len) {
-        int c2 = have < len - have ? have : len - have;
-        std::memcpy(dst + have, dst, (size_t)c2);
-        have += c2;
-      }
-    }
-    if (__builtin_expect(tail, 0)) break;  // r == 0 -> careful loop
+    r = hot_step(h, e);
+    if (r) break;
   }
   hot_store(h, c);
   if (r < 0)
     c.state = ST_ERR;
   else if (r == 1)
     c.state = c.bfinal ? ST_DONE : ST_HEADER;
-  // r == 0: margins exhausted, state stays ST_HUFF
+  // r == 0 / 2: margins exhausted, state stays ST_HUFF -> careful loop
+}
+
+// Interleaved fast loop over TWO independent streams: one hot step each per
+// iteration, so the two serial acc -> table-load -> shift dependency chains
+// overlap in the out-of-order window (match-heavy genomic blocks are
+// latency-bound on that chain; measured ~1.6x one stream's rate per
+// stream).  Exits as soon as EITHER stream leaves the hot regime; the
+// caller finishes block tails/headers per stream and re-enters while both
+// are inside huffman blocks.
+void hot_loop2(Ctx& ca, Ctx& cb) {
+  constexpr uint32_t lmask = (1u << kRootLit) - 1u;
+  Hot a, b;
+  hot_load(a, ca);
+  hot_load(b, cb);
+  if (a.pos > a.in_fast || a.op > a.out_fast || b.pos > b.in_fast ||
+      b.op > b.out_fast) {
+    return;  // caller falls back to sequential drive()
+  }
+  GKL_HOT_REFILL(a);
+  GKL_HOT_REFILL(b);
+  Entry ea = a.lit[a.acc & lmask];
+  Entry eb = b.lit[b.acc & lmask];
+  int ra = 0, rb = 0;
+  for (;;) {
+    if (a.pos > a.in_fast || a.op > a.out_fast) break;
+    ra = hot_step(a, ea);
+    if (ra) break;
+    if (b.pos > b.in_fast || b.op > b.out_fast) break;
+    rb = hot_step(b, eb);
+    if (rb) break;
+  }
+  hot_store(a, ca);
+  hot_store(b, cb);
+  if (ra < 0)
+    ca.state = ST_ERR;
+  else if (ra == 1)
+    ca.state = ca.bfinal ? ST_DONE : ST_HEADER;
+  if (rb < 0)
+    cb.state = ST_ERR;
+  else if (rb == 1)
+    cb.state = cb.bfinal ? ST_DONE : ST_HEADER;
 }
 
 // Careful per-symbol loop to the end of the current huffman block.
@@ -684,14 +765,41 @@ extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
   return finish(c);
 }
 
-// Two-stream entry kept for the batch API's ABI: since the hot loop was
-// software-pipelined (the next table load hides under the match copy),
-// sequential decoding beats symbol-interleaving two streams — measured
-// 453 vs 444 MB/s on the bundled BAM's BGZF blocks — so this simply runs
-// the streams back to back.
+// Two-stream entry: independent blocks decode with their hot steps
+// interleaved (hot_loop2) so the serial acc/table-load chains of the two
+// streams overlap.  Headers and block tails (careful loop) run per stream
+// between interleaved bursts; once either stream finishes or errors, the
+// other drives to completion alone.
 extern "C" void gkl_fast_inflate2(const uint8_t* in1, int n1, uint8_t* out1,
                                   int cap1, const uint8_t* in2, int n2,
                                   uint8_t* out2, int cap2, int* r1, int* r2) {
-  *r1 = gkl_fast_inflate(in1, n1, out1, cap1);
-  *r2 = gkl_fast_inflate(in2, n2, out2, cap2);
+  Ctx a, b;
+  if (init_ctx(a, in1, n1, out1, cap1)) {
+    *r1 = -1;
+    *r2 = gkl_fast_inflate(in2, n2, out2, cap2);
+    return;
+  }
+  if (init_ctx(b, in2, n2, out2, cap2)) {
+    *r2 = -1;
+    drive(a);
+    *r1 = finish(a);
+    return;
+  }
+  for (;;) {
+    if (a.state == ST_HEADER) enter_block(a);
+    if (b.state == ST_HEADER) enter_block(b);
+    if (a.state != ST_HUFF || b.state != ST_HUFF) break;
+    int pa = a.op, pb = b.op;
+    hot_loop2(a, b);
+    if (a.state == ST_HUFF && b.state == ST_HUFF && a.op == pa &&
+        b.op == pb) {
+      // margins too tight for the interleaved loop to make progress:
+      // finish both sequentially (careful loops + any further blocks)
+      break;
+    }
+  }
+  drive(a);
+  drive(b);
+  *r1 = finish(a);
+  *r2 = finish(b);
 }
