@@ -111,6 +111,7 @@ def _suite_extras(quick: bool) -> dict:
     on_tpu = jax.default_backend() in ("tpu", "axon")
     extras: dict = {}
     for name, fn in (
+        ("pairhmm_longread", lambda: suite.bench_pairhmm_longread(on_tpu, quick)),
         ("pdhmm", lambda: suite.bench_pdhmm(on_tpu, quick)),
         ("sw", lambda: suite.bench_sw(on_tpu, quick)),
         ("pairhmm_sharded", lambda: suite.bench_pairhmm_sharded(on_tpu, quick)),

@@ -105,6 +105,36 @@ def bench_pairhmm(on_tpu, quick):
     _emit("pairhmm_dp_cells_per_sec", R * H * P / per, "cells/s", shape=[R, H, P])
 
 
+def bench_pairhmm_longread(on_tpu, quick):
+    """Long-read × long-haplotype pairs (PacBio/ONT class): past BOTH the
+    rows kernel's hap cap and the cols kernel's read cap, so this exercises
+    the read-relayed column sweep — the round-3 jnp cliff (~1.4 Gcells/s)
+    made a first-class metric."""
+    import jax
+    import jax.numpy as jnp
+
+    if not on_tpu:
+        return  # the relay targets the Pallas path; CPU interpret is noise
+    from gkl_tpu.ops.pairhmm_pallas_cols import pairhmm_raw_pallas_cols_relay
+
+    R, H, P, iters = 1024, 4096, 256, 10
+    args = [jax.device_put(a) for a in _gatk_like_batch(R, H, P)]
+
+    def fn(*a):
+        return pairhmm_raw_pallas_cols_relay(*a)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(a0, a1, a2, a3, a4, a5, a6, a7, n):
+        def body(i, acc):
+            return acc + fn(a0, a1, a2 + (i % 3).astype(jnp.uint8), a3, a4, a5, a6, a7)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.zeros((P,), jnp.float32)).sum()
+
+    per = _device_loop_time(loop, args, iters)
+    _emit("pairhmm_dp_cells_per_sec_longread", R * H * P / per, "cells/s",
+          shape=[R, H, P])
+
+
 def bench_pdhmm(on_tpu, quick):
     import jax
     import jax.numpy as jnp
@@ -379,6 +409,8 @@ def main():
 
     if want("pairhmm"):
         bench_pairhmm(on_tpu, args.quick)
+    if want("pairhmm_longread"):
+        bench_pairhmm_longread(on_tpu, args.quick)
     if want("pairhmm_sharded"):
         bench_pairhmm_sharded(on_tpu, args.quick)
     if want("pdhmm"):
