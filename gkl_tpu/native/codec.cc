@@ -21,9 +21,9 @@ extern "C" int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out,
                                     int cap, int level);
 extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
                                 int out_cap);
-extern "C" void gkl_fast_inflate2(const uint8_t* in1, int n1, uint8_t* out1,
-                                  int cap1, const uint8_t* in2, int n2,
-                                  uint8_t* out2, int cap2, int* r1, int* r2);
+extern "C" void gkl_fast_inflate_n(const uint8_t* const* ins,
+                                   const int32_t* ns, uint8_t* const* outs,
+                                   const int32_t* caps, int32_t* rs, int n);
 
 namespace {
 
@@ -39,6 +39,18 @@ bool fast_inflate_enabled() {
   static const bool v = [] {
     const char* e = std::getenv("GKL_TPU_FAST_INFLATE");
     return e == nullptr || e[0] != '0';
+  }();
+  return v;
+}
+
+// Interleave width for the batch inflate gangs.  2 measures fastest on the
+// current hosts (3/4 spill enough hot state to lose their extra chain
+// overlap); GKL_TPU_INFLATE_WAYS=1..4 overrides per host.
+int inflate_ways() {
+  static const int v = [] {
+    const char* e = std::getenv("GKL_TPU_INFLATE_WAYS");
+    int w = e != nullptr ? std::atoi(e) : 2;
+    return w < 1 ? 1 : (w > 4 ? 4 : w);
   }();
   return v;
 }
@@ -162,31 +174,35 @@ void gkl_inflate_batch(const uint8_t* in, const int64_t* in_offsets,
                        int n_threads) {
   std::atomic<int> next(0);
   auto worker = [&]() {
-    // Raw blocks are independent: each worker grabs PAIRS and runs the
-    // two-stream interleaved decoder so the serial decode chains overlap
-    // in the out-of-order window (measured +16% on DNA-content blocks,
-    // neutral on BAM binary payloads — register pressure caps the gain).
-    // A -1 from the fast pair (malformed OR undersized out_stride) falls
-    // back to per-block do_inflate, whose zlib path is the error oracle.
+    // Raw blocks are independent: each worker grabs gangs (GKL_TPU_INFLATE_WAYS, default 2) and runs
+    // the interleaved decoder so the serial decode chains overlap in the
+    // out-of-order window (match decode is latency-bound: ~3 dependent L1
+    // loads per match).  A -1 from the fast gang (malformed OR undersized
+    // out_stride) falls back per block to do_inflate, whose zlib path is
+    // the error oracle.
+    const int ways = inflate_ways();
     for (;;) {
-      int i = next.fetch_add(2);
+      int i = next.fetch_add(ways);
       if (i >= n) return;
-      if (nowrap && i + 1 < n && fast_inflate_enabled()) {
-        int r1, r2;
-        gkl_fast_inflate2(in + in_offsets[i], in_lens[i],
-                          out + (int64_t)i * out_stride, (int)out_stride,
-                          in + in_offsets[i + 1], in_lens[i + 1],
-                          out + (int64_t)(i + 1) * out_stride,
-                          (int)out_stride, &r1, &r2);
-        out_lens[i] = r1 >= 0 ? r1 : do_inflate(
-            in + in_offsets[i], in_lens[i], out + (int64_t)i * out_stride,
-            (int)out_stride, nowrap);
-        out_lens[i + 1] = r2 >= 0 ? r2 : do_inflate(
-            in + in_offsets[i + 1], in_lens[i + 1],
-            out + (int64_t)(i + 1) * out_stride, (int)out_stride, nowrap);
+      int m = n - i < ways ? n - i : ways;
+      if (nowrap && fast_inflate_enabled()) {
+        const uint8_t* ins[4];
+        uint8_t* outs[4];
+        int32_t ns[4], caps[4], rs[4];
+        for (int k = 0; k < m; ++k) {
+          ins[k] = in + in_offsets[i + k];
+          ns[k] = in_lens[i + k];
+          outs[k] = out + (int64_t)(i + k) * out_stride;
+          caps[k] = (int32_t)out_stride;
+        }
+        gkl_fast_inflate_n(ins, ns, outs, caps, rs, m);
+        for (int k = 0; k < m; ++k)
+          out_lens[i + k] = rs[k] >= 0 ? rs[k]
+                                       : do_inflate(ins[k], ns[k], outs[k],
+                                                    caps[k], nowrap);
         continue;
       }
-      for (int k = i; k < i + 2 && k < n; ++k)
+      for (int k = i; k < i + m; ++k)
         out_lens[k] = do_inflate(in + in_offsets[k], in_lens[k],
                                  out + (int64_t)k * out_stride,
                                  (int)out_stride, nowrap);
@@ -212,29 +228,34 @@ void gkl_inflate_batch2(const uint8_t* const* ins, const int32_t* in_lens,
                         int n_threads) {
   std::atomic<int> next(0);
   auto worker = [&]() {
+    const int ways = inflate_ways();
     for (;;) {
-      int i = next.fetch_add(2);
+      int i = next.fetch_add(ways);
       if (i >= n) return;
-      if (nowrap && i + 1 < n && fast_inflate_enabled()) {
-        int r1, r2;
-        gkl_fast_inflate2(ins[i], in_lens[i], out + (int64_t)i * out_stride,
-                          (int)out_stride, ins[i + 1], in_lens[i + 1],
-                          out + (int64_t)(i + 1) * out_stride,
-                          (int)out_stride, &r1, &r2);
-        out_lens[i] = r1 >= 0 ? r1 : do_inflate(
-            ins[i], in_lens[i], out + (int64_t)i * out_stride,
-            (int)out_stride, nowrap);
-        out_lens[i + 1] = r2 >= 0 ? r2 : do_inflate(
-            ins[i + 1], in_lens[i + 1],
-            out + (int64_t)(i + 1) * out_stride, (int)out_stride, nowrap);
+      int m = n - i < ways ? n - i : ways;
+      if (nowrap && fast_inflate_enabled()) {
+        const uint8_t* gi[4];
+        uint8_t* go[4];
+        int32_t ns[4], caps[4], rs[4];
+        for (int k = 0; k < m; ++k) {
+          gi[k] = ins[i + k];
+          ns[k] = in_lens[i + k];
+          go[k] = out + (int64_t)(i + k) * out_stride;
+          caps[k] = (int32_t)out_stride;
+        }
+        gkl_fast_inflate_n(gi, ns, go, caps, rs, m);
+        for (int k = 0; k < m; ++k)
+          out_lens[i + k] = rs[k] >= 0 ? rs[k]
+                                       : do_inflate(gi[k], ns[k], go[k],
+                                                    caps[k], nowrap);
       } else {
-        for (int k = i; k < i + 2 && k < n; ++k)
+        for (int k = i; k < i + m; ++k)
           out_lens[k] = do_inflate(ins[k], in_lens[k],
                                    out + (int64_t)k * out_stride,
                                    (int)out_stride, nowrap);
       }
       if (out_crcs != nullptr) {
-        for (int k = i; k < i + 2 && k < n; ++k)
+        for (int k = i; k < i + m; ++k)
           if (out_lens[k] >= 0)
             out_crcs[k] = (uint32_t)crc32(
                 0L, out + (int64_t)k * out_stride, (uInt)out_lens[k]);

@@ -23,11 +23,12 @@
 //  * match copies as overlap-safe 16-byte chunks whenever len <= dist
 //    (one predictable branch; the <= 15-byte overrun stays inside the
 //    hot-loop margin), short periods seed once then double the window;
-//  * TWO-STREAM INTERLEAVING (gkl_fast_inflate2): independent BGZF blocks
-//    decode in one loop, one symbol-step each per iteration, so the two
-//    serial acc→load→shift dependency chains overlap in the out-of-order
-//    window — the batch API pairs blocks per worker (measured ~+11-16%
-//    over back-to-back on match-heavy blocks; register pressure caps it).
+//  * MULTI-STREAM INTERLEAVING (gkl_fast_inflate_n, up to 4-way):
+//    independent BGZF blocks decode in one loop, one symbol-step each per
+//    iteration, so the serial acc→load→shift dependency chains overlap in
+//    the out-of-order window (match decode is ~3 dependent L1 loads, so a
+//    single chain leaves most load/ALU slots idle) — the batch API feeds
+//    each worker gangs of 4 blocks.
 //
 // Contract: gkl_fast_inflate(in, n, out, out_cap) returns bytes written,
 // -1 on malformed input or insufficient out_cap (the caller falls back to
@@ -441,43 +442,41 @@ void enter_block(Ctx& c) {
 struct Hot {
   uint64_t acc;
   int nbits;
-  int pos;
-  const uint8_t* in;
-  uint8_t* out;
-  int op;
+  const uint8_t* p;       // next input byte (in + pos)
+  uint8_t* o;             // next output byte (out + op)
   const Entry* lit;
   const Entry* dist;
-  int in_fast;   // pos must stay <= in_fast for unchecked refills
-  int out_fast;  // op must stay <= out_fast for unchecked writes
+  const uint8_t* p_fast;  // p must stay <= p_fast for unchecked refills
+  uint8_t* o_fast;        // o must stay <= o_fast for unchecked writes
+  uint8_t* out0;          // output base (match-distance bound check)
 };
 
 inline void hot_load(Hot& h, const Ctx& c) {
   h.acc = c.br.acc;
   h.nbits = c.br.nbits;
-  h.pos = c.br.pos;
-  h.in = c.br.in;
-  h.out = c.out;
-  h.op = c.op;
+  h.p = c.br.in + c.br.pos;
+  h.o = c.out + c.op;
   h.lit = c.lit;
   h.dist = c.dist;
-  h.in_fast = c.br.n - 8;
-  h.out_fast = c.out_cap - 258 - 16;
+  h.p_fast = c.br.in + (c.br.n - 8);
+  h.o_fast = c.out + (c.out_cap - 258 - 16);
+  h.out0 = c.out;
 }
 
 inline void hot_store(const Hot& h, Ctx& c) {
   c.br.acc = h.acc;
   c.br.nbits = h.nbits;
-  c.br.pos = h.pos;
-  c.op = h.op;
+  c.br.pos = (int)(h.p - c.br.in);
+  c.op = (int)(h.o - c.out);
 }
 
 #define GKL_HOT_REFILL(h)                                                   \
   do {                                                                      \
     if ((h).nbits < 48) {                                                   \
       uint64_t w_;                                                          \
-      std::memcpy(&w_, (h).in + (h).pos, 8);                                \
+      std::memcpy(&w_, (h).p, 8);                                \
       (h).acc |= w_ << (h).nbits;                                           \
-      (h).pos += (63 - (h).nbits) >> 3;                                     \
+      (h).p += (63 - (h).nbits) >> 3;                                     \
       (h).nbits |= 56;                                                      \
     }                                                                       \
   } while (0)
@@ -513,9 +512,9 @@ __attribute__((always_inline)) inline int hot_step(Hot& h, Entry& e) {
   if (t == 2) return 1;
   {
     unsigned v = e_val(e);
-    h.out[h.op] = (uint8_t)v;          // unconditional pair store; the
-    h.out[h.op + 1] = (uint8_t)(v >> 8);  // margin covers the dead byte
-    h.op += (int)e_extra(e);
+    h.o[0] = (uint8_t)v;               // unconditional pair store; the
+    h.o[1] = (uint8_t)(v >> 8);           // margin covers the dead byte
+    h.o += (int)e_extra(e);
     // burst: more literal groups from the same refill window (each
     // costs one table load; carried non-literals skip the reload).
     // Fused pairs of short genomic codes run 4-6 bits per group, so up
@@ -529,7 +528,7 @@ __attribute__((always_inline)) inline int hot_step(Hot& h, Entry& e) {
         // the match body directly
         if (e_type(e) == 1 && bits != 0) {
           if (h.nbits < 48) {
-            if (h.pos > h.in_fast) return 0;  // carried; careful loop
+            if (h.p > h.p_fast) return 0;  // carried; careful loop
             GKL_HOT_REFILL(h);
           }
           goto match;
@@ -540,14 +539,14 @@ __attribute__((always_inline)) inline int hot_step(Hot& h, Entry& e) {
       h.acc >>= bits;
       h.nbits -= (int)bits;
       v = e_val(e);
-      h.out[h.op] = (uint8_t)v;
-      h.out[h.op + 1] = (uint8_t)(v >> 8);
-      h.op += (int)e_extra(e);
+      h.o[0] = (uint8_t)v;
+      h.o[1] = (uint8_t)(v >> 8);
+      h.o += (int)e_extra(e);
     }
     // the top refill can have advanced pos to n-1, so re-check before
     // refilling again; past the margin the caller exits to the careful
     // loop at this (consistent) symbol boundary
-    if (h.pos <= h.in_fast) {
+    if (h.p <= h.p_fast) {
       GKL_HOT_REFILL(h);
       e = h.lit[h.acc & lmask];
     }
@@ -573,22 +572,22 @@ match:
   h.acc >>= bits + ex;
   h.nbits -= (int)(bits + ex);
   int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
-  if (__builtin_expect(dist > h.op, 0)) return -1;
+  if (__builtin_expect(dist > (int)(h.o - h.out0), 0)) return -1;
   // preload the next entry before the copy; top up first if the match
   // consumed into the root-index bits (rare: only 43-bit symbols).  If
   // the refill would read past the tail margin, run the copy and hand
   // the stream to the careful loop at this symbol boundary instead.
   bool tail = false;
   if (__builtin_expect(h.nbits < kRootLit, 0)) {
-    if (__builtin_expect(h.pos > h.in_fast, 0))
+    if (__builtin_expect(h.p > h.p_fast, 0))
       tail = true;
     else
       GKL_HOT_REFILL(h);
   }
   if (!tail) e = h.lit[h.acc & lmask];
-  uint8_t* dst = h.out + h.op;
+  uint8_t* dst = h.o;
   const uint8_t* src = dst - dist;
-  h.op += len;
+  h.o += len;
   if (__builtin_expect(len <= dist, 1)) {
     // non-self-overlapping: 16-byte chunks regardless of distance.  The
     // up-to-15-byte overrun writes scratch into [dst+len, dst+len+15)
@@ -633,14 +632,14 @@ void hot_loop(Ctx& c) {
   hot_load(h, c);
   int r = 0;
   // every GKL_HOT_REFILL memcpys 8 bytes at pos, so each one must see
-  // pos <= in_fast (= n-8); near the tail the careful loop takes over
-  if (h.pos > h.in_fast || h.op > h.out_fast) {
+  // p <= p_fast (= in+n-8); near the tail the careful loop takes over
+  if (h.p > h.p_fast || h.o > h.o_fast) {
     hot_store(h, c);
     return;  // state stays ST_HUFF -> careful_loop
   }
   GKL_HOT_REFILL(h);
   Entry e = h.lit[h.acc & lmask];
-  while (h.pos <= h.in_fast && h.op <= h.out_fast) {
+  while (h.p <= h.p_fast && h.o <= h.o_fast) {
     r = hot_step(h, e);
     if (r) break;
   }
@@ -652,46 +651,59 @@ void hot_loop(Ctx& c) {
   // r == 0 / 2: margins exhausted, state stays ST_HUFF -> careful loop
 }
 
-// Interleaved fast loop over TWO independent streams: one hot step each per
-// iteration, so the two serial acc -> table-load -> shift dependency chains
-// overlap in the out-of-order window (match-heavy genomic blocks are
-// latency-bound on that chain; measured ~1.6x one stream's rate per
-// stream).  Exits as soon as EITHER stream leaves the hot regime; the
-// caller finishes block tails/headers per stream and re-enters while both
-// are inside huffman blocks.
-void hot_loop2(Ctx& ca, Ctx& cb) {
-  constexpr uint32_t lmask = (1u << kRootLit) - 1u;
-  Hot a, b;
-  hot_load(a, ca);
-  hot_load(b, cb);
-  if (a.pos > a.in_fast || a.op > a.out_fast || b.pos > b.in_fast ||
-      b.op > b.out_fast) {
-    return;  // caller falls back to sequential drive()
-  }
-  GKL_HOT_REFILL(a);
-  GKL_HOT_REFILL(b);
-  Entry ea = a.lit[a.acc & lmask];
-  Entry eb = b.lit[b.acc & lmask];
-  int ra = 0, rb = 0;
-  for (;;) {
-    if (a.pos > a.in_fast || a.op > a.out_fast) break;
-    ra = hot_step(a, ea);
-    if (ra) break;
-    if (b.pos > b.in_fast || b.op > b.out_fast) break;
-    rb = hot_step(b, eb);
-    if (rb) break;
-  }
-  hot_store(a, ca);
-  hot_store(b, cb);
-  if (ra < 0)
-    ca.state = ST_ERR;
-  else if (ra == 1)
-    ca.state = ca.bfinal ? ST_DONE : ST_HEADER;
-  if (rb < 0)
-    cb.state = ST_ERR;
-  else if (rb == 1)
-    cb.state = cb.bfinal ? ST_DONE : ST_HEADER;
+// True when the stream can enter the unchecked hot loop (same margins as
+// hot_load: 8-byte refills and 258+16-byte match/pair stores must stay in
+// bounds without per-access checks).
+inline bool hot_margins(const Ctx& c) {
+  return c.br.pos <= c.br.n - 8 && c.op <= c.out_cap - 258 - 16;
 }
+
+// Interleaved fast loop over N independent streams: one hot step each per
+// iteration, so the N serial acc -> table-load -> shift dependency chains
+// overlap in the out-of-order window (match-heavy genomic blocks are
+// latency-bound on that chain: ~3 dependent L1 loads per match).  Two
+// streams measured ~1.6x one stream's per-stream rate; four overlaps
+// deeper at the cost of spilling the colder Hot fields (store-forwarded,
+// off the critical path).  Exits as soon as ANY stream leaves the hot
+// regime; the master loop drains that stream and re-forms the gang.
+template <int N>
+void hot_gang(Ctx* const* cs) {
+  constexpr uint32_t lmask = (1u << kRootLit) - 1u;
+  Hot h[N];
+  Entry e[N];
+  int r[N];
+  for (int j = 0; j < N; ++j) {
+    hot_load(h[j], *cs[j]);
+    r[j] = 0;
+    GKL_HOT_REFILL(h[j]);
+    e[j] = h[j].lit[h[j].acc & lmask];
+  }
+  bool stop = false;
+  while (!stop) {
+#pragma GCC unroll 4
+    for (int j = 0; j < N; ++j) {
+      if (h[j].p > h[j].p_fast || h[j].o > h[j].o_fast) {
+        stop = true;
+        break;
+      }
+      r[j] = hot_step(h[j], e[j]);
+      if (r[j]) {
+        stop = true;
+        break;
+      }
+    }
+  }
+  for (int j = 0; j < N; ++j) {
+    hot_store(h[j], *cs[j]);
+    if (r[j] < 0)
+      cs[j]->state = ST_ERR;
+    else if (r[j] == 1)
+      cs[j]->state = cs[j]->bfinal ? ST_DONE : ST_HEADER;
+    // r == 0 / 2: still ST_HUFF; the master loop careful_loops the tail
+  }
+}
+
+constexpr int kMaxWay = 4;
 
 // Careful per-symbol loop to the end of the current huffman block.
 void careful_loop(Ctx& c) {
@@ -755,6 +767,41 @@ void drive(Ctx& c) {
   }
 }
 
+// Master loop for up to kMaxWay streams: advance headers, drain streams
+// whose margins force the careful loop, then run the interleaved gang over
+// every stream still in the hot regime.  Each pass strictly advances at
+// least one stream, so the loop terminates.
+void drive_n(Ctx** cs, int n) {
+  for (;;) {
+    bool any = false;
+    for (int j = 0; j < n; ++j)
+      if (cs[j]->state == ST_HEADER) {
+        enter_block(*cs[j]);
+        any = true;
+      }
+    for (int j = 0; j < n; ++j)
+      if (cs[j]->state == ST_HUFF && !hot_margins(*cs[j])) {
+        careful_loop(*cs[j]);  // tail symbols to block end: cheap
+        any = true;
+      }
+    Ctx* gang[kMaxWay];
+    int m = 0;
+    for (int j = 0; j < n; ++j)
+      if (cs[j]->state == ST_HUFF) gang[m++] = cs[j];
+    if (m >= 2) {
+      switch (m) {
+        case 2: hot_gang<2>(gang); break;
+        case 3: hot_gang<3>(gang); break;
+        default: hot_gang<4>(gang); break;
+      }
+    } else if (m == 1) {
+      drive(*gang[0]);
+    } else if (!any) {
+      return;  // every stream ST_DONE / ST_ERR
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
@@ -765,41 +812,44 @@ extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
   return finish(c);
 }
 
-// Two-stream entry: independent blocks decode with their hot steps
-// interleaved (hot_loop2) so the serial acc/table-load chains of the two
+// N-stream entry (n <= 4): independent blocks decode with their hot steps
+// interleaved (hot_gang) so the serial acc/table-load chains of the
 // streams overlap.  Headers and block tails (careful loop) run per stream
-// between interleaved bursts; once either stream finishes or errors, the
-// other drives to completion alone.
+// between interleaved bursts; as streams finish or error the gang shrinks
+// and the remainder drive to completion.  rs[i] = bytes written or -1
+// (malformed input OR undersized cap; the caller's zlib fallback is the
+// error-compatibility oracle).
+extern "C" void gkl_fast_inflate_n(const uint8_t* const* ins,
+                                   const int32_t* ns, uint8_t* const* outs,
+                                   const int32_t* caps, int32_t* rs, int n) {
+  Ctx c[kMaxWay];
+  Ctx* live[kMaxWay];
+  int idx[kMaxWay];
+  int m = 0;
+  if (n > kMaxWay) n = kMaxWay;
+  for (int j = 0; j < n; ++j) {
+    if (init_ctx(c[m], ins[j], ns[j], outs[j], caps[j])) {
+      rs[j] = -1;
+      continue;
+    }
+    live[m] = &c[m];
+    idx[m] = j;
+    ++m;
+  }
+  if (m) drive_n(live, m);
+  for (int j = 0; j < m; ++j) rs[idx[j]] = finish(*live[j]);
+}
+
+// Two-stream entry kept for ABI continuity; forwards to the gang driver.
 extern "C" void gkl_fast_inflate2(const uint8_t* in1, int n1, uint8_t* out1,
                                   int cap1, const uint8_t* in2, int n2,
                                   uint8_t* out2, int cap2, int* r1, int* r2) {
-  Ctx a, b;
-  if (init_ctx(a, in1, n1, out1, cap1)) {
-    *r1 = -1;
-    *r2 = gkl_fast_inflate(in2, n2, out2, cap2);
-    return;
-  }
-  if (init_ctx(b, in2, n2, out2, cap2)) {
-    *r2 = -1;
-    drive(a);
-    *r1 = finish(a);
-    return;
-  }
-  for (;;) {
-    if (a.state == ST_HEADER) enter_block(a);
-    if (b.state == ST_HEADER) enter_block(b);
-    if (a.state != ST_HUFF || b.state != ST_HUFF) break;
-    int pa = a.op, pb = b.op;
-    hot_loop2(a, b);
-    if (a.state == ST_HUFF && b.state == ST_HUFF && a.op == pa &&
-        b.op == pb) {
-      // margins too tight for the interleaved loop to make progress:
-      // finish both sequentially (careful loops + any further blocks)
-      break;
-    }
-  }
-  drive(a);
-  drive(b);
-  *r1 = finish(a);
-  *r2 = finish(b);
+  const uint8_t* ins[2] = {in1, in2};
+  const int32_t ns[2] = {n1, n2};
+  uint8_t* outs[2] = {out1, out2};
+  const int32_t caps[2] = {cap1, cap2};
+  int32_t rs[2];
+  gkl_fast_inflate_n(ins, ns, outs, caps, rs, 2);
+  *r1 = rs[0];
+  *r2 = rs[1];
 }

@@ -120,6 +120,54 @@ def test_batch_blocks(threads):
     assert zlib.decompress(compressed[3], -zlib.MAX_WBITS) == blocks[3]
 
 
+def test_batch_gang_shapes():
+    """The batch inflate workers decode GANGS of up to four interleaved
+    streams (gkl_fast_inflate_n).  Every gang width (and the tail widths of
+    a non-multiple-of-4 batch) must round-trip, including gangs that mix
+    stored/fixed/dynamic blocks and wildly unequal lengths — the gang
+    driver shrinks as streams finish and must drain the remainder."""
+    rng = np.random.default_rng(11)
+    shapes = [
+        b"",                              # stored, empty
+        b"x",                             # fixed-Huffman, tiny
+        _dna(60000, seed=1),              # dynamic, big
+        bytes(range(7)) * 3000,           # short-period RLE
+        bytes(rng.integers(0, 256, 50000, dtype=np.uint8)),  # stored (L0-ish)
+        _dna(200, seed=2),
+        _dna(30000, seed=3),
+        b"ACGT" * 5,
+        _dna(1000, seed=4),
+    ]
+    for n in range(1, len(shapes) + 1):
+        blocks = shapes[:n]
+        for level in (0, 1, 6):
+            compressed = []
+            for b in blocks:
+                zo = zlib.compressobj(level, zlib.DEFLATED, -zlib.MAX_WBITS)
+                compressed.append(zo.compress(b) + zo.flush())
+            assert comp.inflate_blocks(compressed, threads=1) == blocks, (n, level)
+
+
+def test_batch_gang_corrupt_block_falls_back():
+    """A malformed block inside a gang must not poison its gang-mates: the
+    batch path reports the failure (zlib error semantics via the per-block
+    fallback) while the same batch without the bad block round-trips."""
+    blocks = [_dna(5000 + 777 * k, seed=20 + k) for k in range(6)]
+    compressed = []
+    for b in blocks:
+        zo = zlib.compressobj(1, zlib.DEFLATED, -zlib.MAX_WBITS)
+        compressed.append(zo.compress(b) + zo.flush())
+    bad = list(compressed)
+    bad[2] = b"\x07\xff" + bad[2][:40]  # garbage header mid-gang
+    assert comp.inflate_blocks_packed(bad, threads=1) is None
+    # the per-block fallback surfaces the failure (native raw_inflate raises
+    # RuntimeError; the pure-zlib path raises zlib.error)
+    with pytest.raises((zlib.error, RuntimeError)):
+        comp.inflate_blocks(bad, threads=1)
+    good = compressed[:2] + compressed[3:]
+    assert comp.inflate_blocks(good, threads=1) == blocks[:2] + blocks[3:]
+
+
 def test_bgzf_roundtrip_synthetic():
     data = CORPUS[: 200_000]
     stream = bgzf.compress(data, level=5)
