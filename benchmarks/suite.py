@@ -316,11 +316,25 @@ def bench_codec(quick):
         dt = time.perf_counter() - t0
         _emit(f"deflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
               ratio=sum(map(len, compressed)) / n, cores=cores)
-        dt = dz = 9e9
-        for _ in range(reps):
+        dt = dta = dz = 9e9
+        # the bench hosts' clocks wander ~2x across seconds; the inflate
+        # legs are cheap (~10 ms each), so take best-of over many
+        # interleaved reps to sample all three variants in the same windows
+        for _ in range(3 * reps):
+            # the packed (caller-buffer) entry is the production decode
+            # path — the BGZF reader consumes the strided buffer directly
+            # (bgzf._inflate_verify_join), matching the reference's JNI
+            # contract of inflating into a caller-provided byte[]
+            # (IntelInflater.java inflate(byte[],...))
+            t0 = time.perf_counter()
+            res = comp.inflate_blocks_packed(compressed)
+            dt = min(dt, time.perf_counter() - t0)
+            if res is not None:
+                comp.release_blocks_buffer(res[0])
+            # list-of-bytes convenience contract, for reference
             t0 = time.perf_counter()
             comp.inflate_blocks(compressed)
-            dt = min(dt, time.perf_counter() - t0)
+            dta = min(dta, time.perf_counter() - t0)
             # single-core zlib on the same blocks: the reference replaces
             # exactly this engine with ISA-L (IntelInflater.cc), so the
             # per-core speedup over zlib is the contract number
@@ -330,7 +344,8 @@ def bench_codec(quick):
             dz = min(dz, time.perf_counter() - t0)
         _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
               cores=cores, zlib_mb_per_sec=n / dz / 1e6,
-              vs_zlib_per_core=dz / (dt * cores))
+              vs_zlib_per_core=dz / (dt * cores),
+              assembled_mb_per_sec=n / dta / 1e6)
 
 
 def _replicated_bam(bam_path, copies):

@@ -338,6 +338,46 @@ def deflate_blocks(blocks: list[bytes], level: int = 6, nowrap: bool = True, thr
     return [out[i * stride : i * stride + out_lens[i]].tobytes() for i in range(n)]
 
 
+# Strided-buffer reuse pool for inflate_blocks_packed: the BGZF reader calls
+# it once per chunk with identical sizing, and a fresh 4 MB np.empty pays
+# ~5% of the decode time in first-touch page faults.  Callers hand buffers
+# back with release_blocks_buffer once they have scattered/copied out.
+import threading as _threading
+
+_POOL_LOCK = _threading.Lock()
+_BUF_POOL: dict = {}
+_POOL_MAX_PER_SIZE = 2
+_POOL_MAX_BYTES = 1 << 26
+_pool_bytes = 0
+
+
+def _pool_get(nbytes: int):
+    global _pool_bytes
+    with _POOL_LOCK:
+        lst = _BUF_POOL.get(nbytes)
+        if lst:
+            _pool_bytes -= nbytes
+            return lst.pop()
+    return np.empty(nbytes, np.uint8)
+
+
+def release_blocks_buffer(out) -> None:
+    """Return a strided buffer obtained from :func:`inflate_blocks_packed`
+    to the reuse pool.  Only call once every view into it is dead; callers
+    that skip this are merely slower (the pool is an optimization, capped
+    at 64 MB)."""
+    global _pool_bytes
+    if not isinstance(out, np.ndarray) or out.dtype != np.uint8 \
+            or out.base is not None or not out.flags.c_contiguous:
+        return
+    nbytes = out.nbytes
+    with _POOL_LOCK:
+        lst = _BUF_POOL.setdefault(nbytes, [])
+        if len(lst) < _POOL_MAX_PER_SIZE and _pool_bytes + nbytes <= _POOL_MAX_BYTES:
+            lst.append(out)
+            _pool_bytes += nbytes
+
+
 def inflate_blocks_packed(blocks: list[bytes], nowrap: bool = True,
                           threads: int | None = None,
                           max_block: int = 1 << 16, crcs: bool = False):
@@ -357,7 +397,7 @@ def inflate_blocks_packed(blocks: list[bytes], nowrap: bool = True,
     n = len(blocks)
     ins = (ctypes.c_char_p * n)(*blocks)
     lens = np.array([len(b) for b in blocks], np.int32)
-    out = np.empty(n * max_block, np.uint8)
+    out = _pool_get(n * max_block)
     out_lens = np.empty(n, np.int32)
     out_crcs = np.empty(n, np.uint32) if crcs else None
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -374,6 +414,7 @@ def inflate_blocks_packed(blocks: list[bytes], nowrap: bool = True,
         threads,
     )
     if np.any(out_lens < 0):
+        release_blocks_buffer(out)
         return None
     return out, out_lens, max_block, out_crcs
 
@@ -386,5 +427,7 @@ def inflate_blocks(blocks: list[bytes], nowrap: bool = True, threads: int | None
         # zlib error semantics)
         return [raw_inflate(b, nowrap) for b in blocks]
     out, out_lens, stride, _ = res
-    return [out[i * stride : i * stride + out_lens[i]].tobytes()
-            for i in range(len(blocks))]
+    payloads = [out[i * stride : i * stride + out_lens[i]].tobytes()
+                for i in range(len(blocks))]
+    release_blocks_buffer(out)
+    return payloads

@@ -93,6 +93,10 @@ def _inflate_verify_join(cdatas, metas, threads):
         ln = int(out_lens[i])
         mv[o : o + ln] = ov[i * stride : i * stride + ln]
         o += ln
+    ov.release()
+    from . import release_blocks_buffer
+
+    release_blocks_buffer(out)
     return buf
 
 

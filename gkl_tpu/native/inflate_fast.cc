@@ -16,8 +16,9 @@
 //    appended sub-tables for codes longer than ROOT (roots 9/8: small
 //    enough to stay cache-resident against the streaming output, and
 //    genomic lit/len/dist codes still mostly resolve in one load);
-//  * root-level literal PAIRS: two short literal codes fused into one
-//    table entry (genomic alphabets give 2-4-bit literal codes);
+//  * root-level literal QUADS: runs of up to four short literal codes fused
+//    into one 64-bit table entry (genomic alphabets give 2-3-bit literal
+//    codes, so one root-9 load emits 3-4 output bytes);
 //  * match extras extracted from a SAVED accumulator copy so the live
 //    accumulator sees one fused code+extra shift per code;
 //  * match copies as overlap-safe 16-byte chunks whenever len <= dist
@@ -193,25 +194,61 @@ int build_table(const uint8_t* lens, int nsym, int root, Entry* table,
         table[sub_off[slot] + i] = e;
     }
   }
-  // literal-pair fusion (litlen only): when a root entry is a literal and
-  // the following code is another literal fully contained in the remaining
-  // root bits, fuse both into one entry (extra = 2, val = b1 | b2 << 8).
-  // Short genomic alphabets give 2-4-bit literal codes, so most literal
-  // lookups then emit two bytes per table load.
-  if (kind == kKindLitLen && 2 * min_lit <= root) {
-    for (int i = 0; i < root_size; ++i) {
-      Entry e1 = table[i];
-      if (e_bits(e1) == 0 || e_type(e1) != 0 || e_extra(e1) != 1) continue;
-      unsigned l1 = e_bits(e1);
-      Entry e2 = table[i >> l1];
-      if (e_bits(e2) == 0 || e_type(e2) != 0 || e_extra(e2) != 1) continue;
-      unsigned l2 = e_bits(e2);
-      if (l1 + l2 > (unsigned)root) continue;
-      table[i] = make_entry(l1 + l2, 0, 2,
-                            e_val(e1) | (e_val(e2) << 8));
-    }
-  }
+  (void)min_lit;
   return next_free;
+}
+
+// 64-bit decode entry for the hot loops (litlen AND dist tables):
+//   bits(63..56) | extra(55..50) | type(49..48) | total(47..32) | val(31..0)
+// type 0: literal BURST — extra = byte count 1..4, val = the bytes LE.
+// type 1: len/dist value — ``total`` precomputes bits + extra so the hot
+// path's fused code+extra consume needs no add on the load→shift critical
+// chain.  Other types mirror the 32-bit layout (val fits 32 bits).
+using LitEntry = uint64_t;
+inline LitEntry make_lit_entry(unsigned bits, unsigned type, unsigned extra,
+                               uint32_t val) {
+  unsigned total = bits + (type == 1 ? extra : 0);
+  return ((uint64_t)bits << 56) | ((uint64_t)extra << 50) |
+         ((uint64_t)type << 48) | ((uint64_t)total << 32) | val;
+}
+inline unsigned le_bits(LitEntry e) { return (unsigned)(e >> 56); }
+inline unsigned le_type(LitEntry e) { return (unsigned)(e >> 48) & 3u; }
+inline unsigned le_extra(LitEntry e) { return (unsigned)(e >> 50) & 63u; }
+inline unsigned le_total(LitEntry e) { return (unsigned)(e >> 32) & 0xFFFFu; }
+inline uint32_t le_val(LitEntry e) { return (uint32_t)e; }
+
+// Widen a freshly built 32-bit table to 64-bit entries; for litlen roots
+// (fuse=true) additionally fuse runs of up to FOUR short literal codes into
+// single root entries (val = bytes LE, extra = count).  Genomic alphabets
+// give 2-3-bit literal codes, so a root-9 lookup then emits 3-4 bytes per
+// table load (the pair fusion's successor).  Chaining reads only the
+// pristine 32-bit singles, so the in-place 64-bit writes cannot feed a
+// fused entry back into a chain.
+void widen_table(const Entry* t32, int used, LitEntry* t64, int root,
+                 bool fuse) {
+  for (int i = 0; i < used; ++i) {
+    Entry e = t32[i];
+    t64[i] = make_lit_entry(e_bits(e), e_type(e), e_extra(e), e_val(e));
+  }
+  if (!fuse) return;
+  int root_size = 1 << root;
+  for (int i = 0; i < root_size; ++i) {
+    Entry e1 = t32[i];
+    if (e_bits(e1) == 0 || e_type(e1) != 0) continue;
+    unsigned total = e_bits(e1);
+    uint32_t val = e_val(e1) & 0xFFu;
+    unsigned n = 1;
+    while (n < 4) {
+      Entry e2 = t32[i >> total];
+      if (e_bits(e2) == 0 || e_type(e2) != 0) break;
+      unsigned l2 = e_bits(e2);
+      if (total + l2 > (unsigned)root) break;
+      val |= (e_val(e2) & 0xFFu) << (8 * n);
+      total += l2;
+      ++n;
+    }
+    if (n > 1) t64[i] = make_lit_entry(total, 0, n, val);
+  }
 }
 
 struct BitReader {
@@ -267,9 +304,27 @@ struct BitReader {
 };
 
 struct Tables {
-  Entry lit[kLitCap];
-  Entry dist[kDistCap];
+  LitEntry lit[kLitCap];
+  LitEntry dist[kDistCap];
 };
+
+// Build litlen singles into 32-bit scratch, then widen+fuse into the 64-bit
+// decode table.  Returns the scratch entry count (< 0 on invalid code).
+int build_lit_table(const uint8_t* lens, int nsym, LitEntry* t64) {
+  Entry scratch[kLitCap];
+  int used = build_table(lens, nsym, kRootLit, scratch, kLitCap, kKindLitLen);
+  if (used > 0) widen_table(scratch, used, t64, kRootLit, true);
+  return used;
+}
+
+// Same for the distance table (no fusion; the widening buys the
+// precomputed bits+extra ``total``).
+int build_dist_table(const uint8_t* lens, int nsym, LitEntry* t64) {
+  Entry scratch[kDistCap];
+  int used = build_table(lens, nsym, kRootDist, scratch, kDistCap, kKindDist);
+  if (used > 0) widen_table(scratch, used, t64, kRootDist, false);
+  return used;
+}
 
 // static (btype==1) tables, built once
 struct StaticTables {
@@ -281,10 +336,10 @@ struct StaticTables {
     for (int i = 144; i < 256; ++i) lens[i] = 9;
     for (int i = 256; i < 280; ++i) lens[i] = 7;
     for (int i = 280; i < 288; ++i) lens[i] = 8;
-    ok = build_table(lens, 288, kRootLit, t.lit, kLitCap, kKindLitLen) > 0;
+    ok = build_lit_table(lens, 288, t.lit) > 0;
     uint8_t dl[32];
     for (int i = 0; i < 32; ++i) dl[i] = 5;
-    ok = ok && build_table(dl, 32, kRootDist, t.dist, kDistCap, kKindDist) > 0;
+    ok = ok && build_dist_table(dl, 32, t.dist) > 0;
   }
 };
 
@@ -307,6 +362,20 @@ inline int decode_sym(BitReader& br, const Entry* table, int root,
   return 0;
 }
 
+inline int decode_sym64(BitReader& br, const LitEntry* table, int root,
+                        LitEntry* out_e) {
+  LitEntry e = table[br.acc & ((1u << root) - 1u)];
+  if (le_type(e) == 3) {
+    unsigned sub_bits = le_extra(e);
+    e = table[le_val(e) + ((br.acc >> root) & ((1u << sub_bits) - 1u))];
+  }
+  unsigned bits = le_bits(e);
+  if (bits == 0) return -1;
+  br.drop((int)bits);
+  *out_e = e;
+  return 0;
+}
+
 // decoder states
 enum {
   ST_HEADER = 0,  // next bits are a block header (or first block)
@@ -318,8 +387,8 @@ enum {
 struct Ctx {
   BitReader br;
   Tables dyn;
-  const Entry* lit = nullptr;
-  const Entry* dist = nullptr;
+  const LitEntry* lit = nullptr;
+  const LitEntry* dist = nullptr;
   uint8_t* out = nullptr;
   int op = 0;
   int out_cap = 0;
@@ -424,10 +493,8 @@ void enter_block(Ctx& c) {
       }
     }
     if (lens[256] == 0) { c.state = ST_ERR; return; }  // no end-of-block
-    if (build_table(lens, hlit, kRootLit, c.dyn.lit, kLitCap,
-                    kKindLitLen) < 0 ||
-        build_table(lens + hlit, hdist, kRootDist, c.dyn.dist, kDistCap,
-                    kKindDist) < 0) {
+    if (build_lit_table(lens, hlit, c.dyn.lit) < 0 ||
+        build_dist_table(lens + hlit, hdist, c.dyn.dist) < 0) {
       c.state = ST_ERR;
       return;
     }
@@ -444,8 +511,8 @@ struct Hot {
   int nbits;
   const uint8_t* p;       // next input byte (in + pos)
   uint8_t* o;             // next output byte (out + op)
-  const Entry* lit;
-  const Entry* dist;
+  const LitEntry* lit;
+  const LitEntry* dist;
   const uint8_t* p_fast;  // p must stay <= p_fast for unchecked refills
   uint8_t* o_fast;        // o must stay <= o_fast for unchecked writes
   uint8_t* out0;          // output base (match-distance bound check)
@@ -491,7 +558,7 @@ inline void hot_store(const Hot& h, Ctx& c) {
 // top-of-step refill only ORs new bytes into the accumulator's HIGH bits,
 // so a carried entry (loaded when >= kRootLit bits were valid) stays
 // correct across it.
-__attribute__((always_inline)) inline int hot_step(Hot& h, Entry& e) {
+__attribute__((always_inline)) inline int hot_step(Hot& h, LitEntry& e) {
   constexpr uint32_t lmask = (1u << kRootLit) - 1u;
   constexpr uint32_t dmask = (1u << kRootDist) - 1u;
   unsigned bits, ex, t;
@@ -501,32 +568,31 @@ __attribute__((always_inline)) inline int hot_step(Hot& h, Entry& e) {
   // dist code 15-via-subtable + dist extra 13 = 48); the carried entry's
   // index bits are already valid, the refill only appends above them
   GKL_HOT_REFILL(h);
-  if (__builtin_expect(e_type(e) == 3, 0))
-    e = h.lit[e_val(e) + ((h.acc >> kRootLit) & ((1u << e_extra(e)) - 1u))];
-  bits = e_bits(e);
+  if (__builtin_expect(le_type(e) == 3, 0))
+    e = h.lit[le_val(e) + ((h.acc >> kRootLit) & ((1u << le_extra(e)) - 1u))];
+  bits = le_bits(e);
   if (bits == 0) return -1;
-  t = e_type(e);
+  t = le_type(e);
   if (t == 1) goto match;  // matches dominate genomic blocks
   h.acc >>= bits;
   h.nbits -= (int)bits;
   if (t == 2) return 1;
   {
-    unsigned v = e_val(e);
-    h.o[0] = (uint8_t)v;               // unconditional pair store; the
-    h.o[1] = (uint8_t)(v >> 8);           // margin covers the dead byte
-    h.o += (int)e_extra(e);
+    uint32_t v = le_val(e);
+    std::memcpy(h.o, &v, 4);           // unconditional quad store; the
+    h.o += (int)le_extra(e);           // margin covers the dead bytes
     // burst: more literal groups from the same refill window (each
     // costs one table load; carried non-literals skip the reload).
-    // Fused pairs of short genomic codes run 4-6 bits per group, so up
-    // to 8 groups (16 bytes) fit one 48-bit window
+    // Fused quads of short genomic codes run 8-9 bits per group, so up
+    // to 5 groups (20 bytes) fit one 48-bit window
     for (int k = 0; k < 7 && h.nbits >= 15; ++k) {
       e = h.lit[h.acc & lmask];
-      bits = e_bits(e);
-      if (e_type(e) != 0) {
+      bits = le_bits(e);
+      if (le_type(e) != 0) {
         // lit -> match transition without bouncing through the outer
         // loop: top the window back up (margin-checked) and fall into
         // the match body directly
-        if (e_type(e) == 1 && bits != 0) {
+        if (le_type(e) == 1 && bits != 0) {
           if (h.nbits < 48) {
             if (h.p > h.p_fast) return 0;  // carried; careful loop
             GKL_HOT_REFILL(h);
@@ -538,10 +604,9 @@ __attribute__((always_inline)) inline int hot_step(Hot& h, Entry& e) {
       if (bits == 0) return 0;
       h.acc >>= bits;
       h.nbits -= (int)bits;
-      v = e_val(e);
-      h.o[0] = (uint8_t)v;
-      h.o[1] = (uint8_t)(v >> 8);
-      h.o += (int)e_extra(e);
+      v = le_val(e);
+      std::memcpy(h.o, &v, 4);
+      h.o += (int)le_extra(e);
     }
     // the top refill can have advanced pos to n-1, so re-check before
     // refilling again; past the margin the caller exits to the careful
@@ -556,22 +621,22 @@ match:
   // length + distance, extras from a SAVED accumulator copy: ONE fused
   // code+extra shift per code on the live accumulator (the len code's
   // consume is folded in here too, off the dependency chain)
-  ex = e_extra(e);
+  ex = le_extra(e);
   saved = h.acc >> bits;
-  h.acc >>= bits + ex;
-  h.nbits -= (int)(bits + ex);
-  len = (int)e_val(e) + (int)(saved & ((1u << ex) - 1u));
-  Entry de = h.dist[h.acc & dmask];
-  if (__builtin_expect(e_type(de) == 3, 0))
-    de = h.dist[e_val(de) +
-                ((h.acc >> kRootDist) & ((1u << e_extra(de)) - 1u))];
-  bits = e_bits(de);
-  if (bits == 0 || e_type(de) != 1) return -1;
-  ex = e_extra(de);
+  h.acc >>= le_total(e);  // bits + ex, precomputed off the critical chain
+  h.nbits -= (int)le_total(e);
+  len = (int)le_val(e) + (int)(saved & ((1u << ex) - 1u));
+  LitEntry de = h.dist[h.acc & dmask];
+  if (__builtin_expect(le_type(de) == 3, 0))
+    de = h.dist[le_val(de) +
+                ((h.acc >> kRootDist) & ((1u << le_extra(de)) - 1u))];
+  bits = le_bits(de);
+  if (bits == 0 || le_type(de) != 1) return -1;
+  ex = le_extra(de);
   saved = h.acc >> bits;
-  h.acc >>= bits + ex;
-  h.nbits -= (int)(bits + ex);
-  int dist = (int)e_val(de) + (int)(saved & ((1u << ex) - 1u));
+  h.acc >>= le_total(de);
+  h.nbits -= (int)le_total(de);
+  int dist = (int)le_val(de) + (int)(saved & ((1u << ex) - 1u));
   if (__builtin_expect(dist > (int)(h.o - h.out0), 0)) return -1;
   // preload the next entry before the copy; top up first if the match
   // consumed into the root-index bits (rare: only 43-bit symbols).  If
@@ -638,7 +703,7 @@ void hot_loop(Ctx& c) {
     return;  // state stays ST_HUFF -> careful_loop
   }
   GKL_HOT_REFILL(h);
-  Entry e = h.lit[h.acc & lmask];
+  LitEntry e = h.lit[h.acc & lmask];
   while (h.p <= h.p_fast && h.o <= h.o_fast) {
     r = hot_step(h, e);
     if (r) break;
@@ -670,7 +735,7 @@ template <int N>
 void hot_gang(Ctx* const* cs) {
   constexpr uint32_t lmask = (1u << kRootLit) - 1u;
   Hot h[N];
-  Entry e[N];
+  LitEntry e[N];
   int r[N];
   for (int j = 0; j < N; ++j) {
     hot_load(h[j], *cs[j]);
@@ -711,24 +776,24 @@ void careful_loop(Ctx& c) {
   for (;;) {
     br.refill();
     if (br.overrun()) { c.state = ST_ERR; return; }
-    Entry e;
-    if (decode_sym(br, c.lit, kRootLit, &e)) { c.state = ST_ERR; return; }
-    unsigned t = e_type(e);
+    LitEntry e;
+    if (decode_sym64(br, c.lit, kRootLit, &e)) { c.state = ST_ERR; return; }
+    unsigned t = le_type(e);
     if (t == 0) {
-      unsigned v = e_val(e);
-      for (unsigned k = 0; k < e_extra(e); ++k) {
+      uint32_t v = le_val(e);
+      for (unsigned k = 0; k < le_extra(e); ++k) {
         if (c.op >= c.out_cap) { c.state = ST_ERR; return; }
         c.out[c.op++] = (uint8_t)(v >> (8 * k));
       }
       continue;
     }
     if (t == 2) break;  // end of block
-    int len = (int)e_val(e) + (int)br.get((int)e_extra(e));
+    int len = (int)le_val(e) + (int)br.get((int)le_extra(e));
     br.refill();
-    Entry de;
-    if (decode_sym(br, c.dist, kRootDist, &de)) { c.state = ST_ERR; return; }
-    if (e_type(de) != 1) { c.state = ST_ERR; return; }
-    int dist = (int)e_val(de) + (int)br.get((int)e_extra(de));
+    LitEntry de;
+    if (decode_sym64(br, c.dist, kRootDist, &de)) { c.state = ST_ERR; return; }
+    if (le_type(de) != 1) { c.state = ST_ERR; return; }
+    int dist = (int)le_val(de) + (int)br.get((int)le_extra(de));
     if (dist > c.op) { c.state = ST_ERR; return; }  // before output start
     if (c.op + len > c.out_cap) { c.state = ST_ERR; return; }
     uint8_t* dst = c.out + c.op;
