@@ -210,3 +210,28 @@ def test_codec_threads_env(monkeypatch):
     monkeypatch.setenv("GKL_TPU_THREADS", "1")
     blocks = [os.urandom(1000) for _ in range(4)]
     assert comp.inflate_blocks(comp.deflate_blocks(blocks, level=1)) == blocks
+
+
+def test_inflate_ways_env():
+    """GKL_TPU_INFLATE_WAYS sets the batch-inflate gang width (the C++ side
+    caches it per process, so each width gets a fresh subprocess).  Every
+    width must round-trip the same heterogeneous batch."""
+    import subprocess
+    import sys
+
+    script = r"""
+import numpy as np
+from gkl_tpu import compression as comp
+rng = np.random.default_rng(3)
+blocks = [bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)])
+          for n in (0, 1, 40000, 500, 65000, 3)]
+assert comp.inflate_blocks(comp.deflate_blocks(blocks, level=1), threads=1) == blocks
+assert comp.inflate_blocks(comp.deflate_blocks(blocks, level=6), threads=1) == blocks
+print("WAYS_OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    for ways in ("1", "3", "4", "99"):  # 99 clamps to 4
+        env["GKL_TPU_INFLATE_WAYS"] = ways
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, timeout=240)
+        assert "WAYS_OK" in out.stdout, (ways, out.stdout, out.stderr[-2000:])
