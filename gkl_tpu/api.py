@@ -160,11 +160,16 @@ def _const_quals_of(reads: Sequence["ReadData"]):
     return c
 
 
+_PALLAS_FALLOFF_SEEN: set = set()
+
+
 def _warn_pallas_falloff(where: str, **detail) -> None:
     """One-line diagnostic whenever a TPU batch degrades to the jnp scan
     engine (~50x slower than the Pallas kernels) — the silent failure mode
     rounds 1-2 fought.  ``GKL_TPU_STRICT_PALLAS=1`` raises instead (the
-    KernelLevel.PALLAS-style contract for production fleets)."""
+    KernelLevel.PALLAS-style contract for production fleets).  Deduplicated
+    per (where, detail) so a streaming pipeline emits one line per distinct
+    configuration condition, not one per batch."""
     import os
     import sys
 
@@ -173,6 +178,10 @@ def _warn_pallas_falloff(where: str, **detail) -> None:
            f"Align lane counts to 128*mesh or unset GKL_TPU_PALLAS=0.")
     if os.environ.get("GKL_TPU_STRICT_PALLAS") == "1":
         raise RuntimeError(msg)
+    key = (where, repr(sorted(detail.items())))
+    if key in _PALLAS_FALLOFF_SEEN:
+        return
+    _PALLAS_FALLOFF_SEEN.add(key)
     print(msg, file=sys.stderr)
 
 

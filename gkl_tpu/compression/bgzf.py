@@ -74,7 +74,12 @@ def _inflate_verify_join(cdatas, metas, threads):
 
     res = inflate_blocks_packed(cdatas, threads=threads, crcs=True)
     if res is None:
-        outs = inflate_blocks(cdatas, threads=threads)
+        # the packed entry already failed (no native codec, or a corrupt
+        # block) — go straight to per-block zlib-semantics decode rather
+        # than inflate_blocks, which would re-run the same packed batch
+        from . import raw_inflate
+
+        outs = [raw_inflate(b) for b in cdatas]
         for out, (crc, isize) in zip(outs, metas):
             if len(out) != isize or (zlib.crc32(out) & 0xFFFFFFFF) != crc:
                 raise ValueError("BGZF block corrupt")

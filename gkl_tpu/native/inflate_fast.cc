@@ -593,6 +593,10 @@ __attribute__((always_inline)) inline int hot_step(Hot& h, LitEntry& e) {
         // loop: top the window back up (margin-checked) and fall into
         // the match body directly
         if (le_type(e) == 1 && bits != 0) {
+          // the burst advanced o, so the step-entry output margin no
+          // longer covers a worst-case 258+15-byte match store — recheck
+          // before falling through (else: carried; careful loop)
+          if (h.o > h.o_fast) return 0;
           if (h.nbits < 48) {
             if (h.p > h.p_fast) return 0;  // carried; careful loop
             GKL_HOT_REFILL(h);
@@ -887,11 +891,14 @@ extern "C" int gkl_fast_inflate(const uint8_t* in, int n, uint8_t* out,
 extern "C" void gkl_fast_inflate_n(const uint8_t* const* ins,
                                    const int32_t* ns, uint8_t* const* outs,
                                    const int32_t* caps, int32_t* rs, int n) {
+  // wider-than-gang calls decode in kMaxWay groups (every rs[] is written)
+  for (; n > kMaxWay; n -= kMaxWay, ins += kMaxWay, ns += kMaxWay,
+                      outs += kMaxWay, caps += kMaxWay, rs += kMaxWay)
+    gkl_fast_inflate_n(ins, ns, outs, caps, rs, kMaxWay);
   Ctx c[kMaxWay];
   Ctx* live[kMaxWay];
   int idx[kMaxWay];
   int m = 0;
-  if (n > kMaxWay) n = kMaxWay;
   for (int j = 0; j < n; ++j) {
     if (init_ctx(c[m], ins[j], ns[j], outs[j], caps[j])) {
       rs[j] = -1;

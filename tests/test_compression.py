@@ -432,3 +432,88 @@ def test_fast_inflate_rejects_reserved_symbol_headers():
     legal = craft(29, 29)
     assert fn(legal, len(legal), out, len(out)) == 0
     assert zlib.decompressobj(-15).decompress(legal) == b""
+
+
+def test_fast_inflate_never_writes_past_out_cap():
+    """Undersized out_cap is a documented -1 path (the caller's zlib
+    fallback handles it), but the decoder must STILL never write past
+    out + out_cap.  Regression: the hot loop's lit->match fast transition
+    skipped the output-margin recheck, so a literal burst followed by a
+    long match could write up to ~27 bytes past the cap (heap overflow on
+    corrupt/oversized BGZF input)."""
+    import ctypes
+    import random
+
+    from gkl_tpu import native_lib
+
+    lib = native_lib.load("gkl_codec")
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    fn = lib.gkl_fast_inflate
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                   ctypes.c_int]
+
+    rng = random.Random(11)
+    # corpora chosen to exercise both hot-loop literal forms before a long
+    # match: raw bytes (plain literals) and DNA (fused literal quads under
+    # the dynamic 2-3 bit codes), each a 258-byte unique prefix followed by
+    # dist-258 len-258 matches
+    seeds = [bytes(rng.randrange(256) for _ in range(258)),
+             bytes(rng.choice(b"ACGT") for _ in range(258))]
+    pad = 512
+    for seed in seeds:
+        data = seed * 24
+        for level in (1, 6):
+            co = zlib.compressobj(level, zlib.DEFLATED, -15)
+            stream = co.compress(data) + co.flush()
+            caps = list(range(1, 700)) + [rng.randrange(700, len(data))
+                                          for _ in range(64)] + [len(data)]
+            for cap in caps:
+                buf = ctypes.create_string_buffer(b"\xaa" * (cap + pad),
+                                                  cap + pad)
+                r = fn(stream, len(stream), buf, cap)
+                assert buf.raw[cap:cap + pad] == b"\xaa" * pad, (
+                    len(seed), level, cap, r)
+                if cap == len(data):
+                    assert r == cap and buf.raw[:r] == data
+
+
+def test_fast_inflate_n_wider_than_gang():
+    """gkl_fast_inflate_n with n above the gang width must decode EVERY
+    block and write every rs[] slot (regression: n used to be silently
+    clamped to 4, leaving rs[4:] uninitialized)."""
+    import ctypes
+    import random
+
+    from gkl_tpu import native_lib
+
+    lib = native_lib.load("gkl_codec")
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    fn = lib.gkl_fast_inflate_n
+    fn.restype = None
+    c_u8pp = ctypes.POINTER(ctypes.c_char_p)
+    fn.argtypes = [c_u8pp, ctypes.POINTER(ctypes.c_int32), c_u8pp,
+                   ctypes.POINTER(ctypes.c_int32),
+                   ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+
+    rng = random.Random(7)
+    datas = [bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(1, 30000)))
+             for _ in range(11)]
+    streams = []
+    for d in datas:
+        co = zlib.compressobj(1, zlib.DEFLATED, -15)
+        streams.append(co.compress(d) + co.flush())
+    n = len(datas)
+    ins = (ctypes.c_char_p * n)(*streams)
+    ns = (ctypes.c_int32 * n)(*[len(s) for s in streams])
+    bufs = [ctypes.create_string_buffer(1 << 16) for _ in range(n)]
+    outs = (ctypes.c_char_p * n)(*[ctypes.cast(b, ctypes.c_char_p)
+                                   for b in bufs])
+    caps = (ctypes.c_int32 * n)(*[1 << 16] * n)
+    rs = (ctypes.c_int32 * n)(*[-777] * n)
+    fn(ins, ns, outs, caps, rs, n)
+    for i, d in enumerate(datas):
+        assert rs[i] == len(d), (i, rs[i], len(d))
+        assert bufs[i].raw[:len(d)] == d, i

@@ -341,10 +341,12 @@ def test_pallas_falloff_warns_and_strict_raises(monkeypatch, capsys):
     """On a TPU backend, degrading to the jnp scan must be loud: a stderr
     diagnostic by default, a RuntimeError under GKL_TPU_STRICT_PALLAS=1
     (VERDICT r3: the silent ~50x failure mode)."""
+    from gkl_tpu import api as api_mod
     from gkl_tpu import utils
 
     monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
     monkeypatch.setenv("GKL_TPU_PALLAS", "0")  # force the fall-off
+    monkeypatch.setattr(api_mod, "_PALLAS_FALLOFF_SEEN", set())
 
     cases = [
         ReadData(np.frombuffer(b"ACGTACGT", np.uint8),
@@ -354,6 +356,9 @@ def test_pallas_falloff_warns_and_strict_raises(monkeypatch, capsys):
     out = PairHMM(lane_multiple=8).compute_likelihoods(cases, haps)
     assert np.isfinite(out).all()
     assert "fell off the Pallas fast path" in capsys.readouterr().err
+    # the diagnostic is deduplicated: an identical batch stays quiet
+    PairHMM(lane_multiple=8).compute_likelihoods(cases, haps)
+    assert "fell off" not in capsys.readouterr().err
 
     monkeypatch.setenv("GKL_TPU_STRICT_PALLAS", "1")
     with pytest.raises(RuntimeError, match="Pallas fast path"):
