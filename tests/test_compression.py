@@ -517,3 +517,76 @@ def test_fast_inflate_n_wider_than_gang():
     for i, d in enumerate(datas):
         assert rs[i] == len(d), (i, rs[i], len(d))
         assert bufs[i].raw[:len(d)] == d, i
+
+
+def test_fast_inflate_mutation_fuzz():
+    """Randomized mutation fuzz of the fast decoder: bit flips, truncations
+    and byte edits over DEFLATE streams from three corpora shapes x two
+    encoders (zlib and the repo's fast L1).  Invariants, for EVERY mutant:
+    (a) no byte is ever written past out_cap (canary pad); (b) an accepted
+    decode (r >= 0) agrees byte-for-byte with the zlib oracle on the same
+    mutant — the decoder may decline where zlib accepts (the caller falls
+    back), never the reverse with different bytes."""
+    import ctypes
+    import random
+
+    from gkl_tpu import native_lib
+
+    lib = native_lib.load("gkl_codec")
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    fn = lib.gkl_fast_inflate
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                   ctypes.c_int]
+
+    rng = random.Random(2024)
+    pad = 320
+    corpora = []
+    for kind in range(3):
+        n = rng.randrange(500, 30000)
+        if kind == 0:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            data = bytes(rng.choice(b"ACGTN") for _ in range(n))
+        else:
+            seed = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(4, 300)))
+            data = (seed * (n // len(seed) + 1))[:n]
+        for level in (1, 6):
+            co = zlib.compressobj(level, zlib.DEFLATED, -15)
+            corpora.append((data, co.compress(data) + co.flush()))
+        fast = comp.raw_deflate(data, level=1)
+        corpora.append((data, fast))
+
+    checked = accepted = 0
+    for data, stream in corpora:
+        cap = len(data)
+        for trial in range(40):
+            mut = bytearray(stream)
+            op = trial % 3
+            if op == 0:  # flip 1-4 bits
+                for _ in range(rng.randrange(1, 5)):
+                    mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            elif op == 1:  # truncate
+                del mut[rng.randrange(1, len(mut)):]
+            else:  # overwrite a random short span
+                at = rng.randrange(len(mut))
+                for k in range(at, min(len(mut), at + rng.randrange(1, 9))):
+                    mut[k] = rng.randrange(256)
+            mut = bytes(mut)
+            buf = ctypes.create_string_buffer(b"\xaa" * (cap + pad), cap + pad)
+            r = fn(mut, len(mut), buf, cap)
+            assert buf.raw[cap:] == b"\xaa" * pad, (len(data), trial, r)
+            checked += 1
+            if r < 0:
+                continue
+            accepted += 1
+            d = zlib.decompressobj(-15)
+            try:
+                want = d.decompress(mut, cap)
+            except zlib.error:
+                pytest.fail(f"fast accepted a mutant zlib rejects "
+                            f"(len={len(data)} trial={trial} r={r})")
+            assert buf.raw[:r] == want[:r] and r == len(want), (
+                len(data), trial, r, len(want))
+    assert checked == len(corpora) * 40
