@@ -311,11 +311,27 @@ def bench_codec(quick):
     cores = os.cpu_count() or 1
     reps = 1 if quick else 3
     for level in (1, 6):
-        t0 = time.perf_counter()
-        compressed = comp.deflate_blocks(blocks, level=level)
-        dt = time.perf_counter() - t0
+        compressed = comp.deflate_blocks(blocks, level=level)  # warm
+        dt = dzd = 9e9
+        zblocks = None
+        for _ in range(reps):
+            # interleave ours vs single-core zlib in the same clock windows
+            # (the hosts' clocks wander ~2x across seconds)
+            t0 = time.perf_counter()
+            compressed = comp.deflate_blocks(blocks, level=level)
+            dt = min(dt, time.perf_counter() - t0)
+            def _zdef(b):
+                co = zlib.compressobj(level, zlib.DEFLATED, -zlib.MAX_WBITS)
+                return co.compress(b) + co.flush()
+
+            t0 = time.perf_counter()
+            zblocks = [_zdef(b) for b in blocks]
+            dzd = min(dzd, time.perf_counter() - t0)
         _emit(f"deflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
-              ratio=sum(map(len, compressed)) / n, cores=cores)
+              ratio=sum(map(len, compressed)) / n, cores=cores,
+              zlib_mb_per_sec=n / dzd / 1e6,
+              zlib_ratio=sum(map(len, zblocks)) / n,
+              vs_zlib_per_core=dzd / (dt * cores))
         dt = dta = dz = 9e9
         # the bench hosts' clocks wander ~2x across seconds; the inflate
         # legs are cheap (~10 ms each), so take best-of over many

@@ -309,18 +309,22 @@ extern "C" {
 // bytes written, or -1 when `cap` is too small (callers fall back to zlib).
 int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
                          int level) {
-  static thread_local std::vector<int32_t> head;
-  static thread_local std::vector<int32_t> head2;
+  // two-slot bucket packed into ONE uint64 (newest in the low half, the
+  // candidate it displaced in the high half): a depth-2 chain recovering
+  // most of a full chain's ratio, at ONE cache access per probe instead of
+  // two separate 128 KB arrays
+  static thread_local std::vector<uint64_t> headpair;
   static thread_local std::vector<uint32_t> tokens;
-  head.assign(kHashSize, -1);
-  head2.assign(kHashSize, -1);
-  tokens.clear();
-  tokens.reserve((size_t)n / 3 + 16);
+  headpair.assign(kHashSize, ~0ull);
+  if ((int)tokens.size() < n + 16) tokens.resize((size_t)n + 16);
+  uint32_t* tp = tokens.data();  // cursor: no per-token capacity branch
 
   uint32_t lit_freq[286];
   uint32_t dist_freq[30];
+  uint32_t len_hist[259];  // raw match lengths; folded into symbols below
   std::memset(lit_freq, 0, sizeof(lit_freq));
   std::memset(dist_freq, 0, sizeof(dist_freq));
+  std::memset(len_hist, 0, sizeof(len_hist));
 
   const SymTables& T = kSym;
   const int limit4 = n - 4;
@@ -339,13 +343,10 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
     if (pos <= limit4) {
       uint32_t v = read32(in + pos);
       uint32_t h = hash4(v);
-      // two-slot bucket (a depth-2 chain): the newest candidate plus the
-      // one it displaced — recovers most of a full chain's ratio at one
-      // extra compare per probe
-      int cand = head[h];
-      int cand2 = head2[h];
-      head2[h] = cand;
-      head[h] = pos;
+      uint64_t pair = headpair[h];
+      int cand = (int32_t)(uint32_t)pair;
+      int cand2 = (int32_t)(pair >> 32);
+      headpair[h] = (pair << 32) | (uint32_t)pos;
       const int maxl = n - pos < 258 ? n - pos : 258;
       auto extend = [&](int c) {
         int L = 4;
@@ -364,8 +365,11 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
         best_len = extend(cand);
         best_dist = pos - cand;
       }
+      // only pay the second extend when it could beat the first: the byte
+      // at best_len must match (best_len < 4 reduces to the read32 check)
       if (cand2 >= 0 && pos - cand2 <= 32768 && best_len < maxl &&
-          read32(in + cand2) == v) {
+          read32(in + cand2) == v &&
+          in[cand2 + best_len] == in[pos + best_len]) {
         int L2 = extend(cand2);
         if (L2 > best_len) {
           best_len = L2;
@@ -374,17 +378,19 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
       }
     }
     if (best_len >= 4) {
-      tokens.push_back((1u << 31) | ((uint32_t)best_len << 16) |
-                       (uint32_t)best_dist);
-      lit_freq[T.len_sym[best_len]]++;
-      dist_freq[T.dist_bucket(best_dist)]++;
+      // token: [31]=match, [27:20]=len-3, [19:15]=dist bucket (computed
+      // once here, reused at emit), [14:0]=dist-1
+      int dc = T.dist_bucket(best_dist);
+      *tp++ = (1u << 31) | ((uint32_t)(best_len - 3) << 20) |
+              ((uint32_t)dc << 15) | (uint32_t)(best_dist - 1);
+      len_hist[best_len]++;
+      dist_freq[dc]++;
       if (level >= 2) {
         // denser dictionary: insert every position inside the match
         int stop = pos + best_len < limit4 + 1 ? pos + best_len : limit4 + 1;
         for (int q = pos + 1; q < stop; ++q) {
           uint32_t hq = hash4(read32(in + q));
-          head2[hq] = head[hq];
-          head[hq] = q;
+          headpair[hq] = (headpair[hq] << 32) | (uint32_t)q;
         }
       }
       pos += best_len;
@@ -395,14 +401,21 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
       if (step > n - pos) step = n - pos;
       for (int k = 0; k < step; ++k) {
         uint8_t c = in[pos + k];
-        tokens.push_back(c);
+        *tp++ = c;
         lit_freq[c]++;
       }
       pos += step;
       miss_run += step;
     }
   }
+  const uint32_t* tokens_end = tp;
   lit_freq[256]++;  // end of block
+  long long len_extra_total = 0;  // identical cost under dynamic AND fixed
+  for (int L = 3; L <= 258; ++L)
+    if (len_hist[L]) {
+      lit_freq[T.len_sym[L]] += len_hist[L];
+      len_extra_total += (long long)len_hist[L] * T.len_extra_bits[L];
+    }
 
   // ---- dynamic code ----
   uint8_t dyn_lit_lens[288], dyn_dist_lens[30];
@@ -459,14 +472,9 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
       dyn_bits += (long long)dist_freq[s] * dyn_dist_lens[s] + ex;
       fixed_bits += (long long)dist_freq[s] * 5 + ex;
     }
-  // length extra bits are identical for both
-  {
-    long long lex = 0;
-    for (const uint32_t tok : tokens)
-      if (tok >> 31) lex += T.len_extra_bits[(tok >> 16) & 0x1FF];
-    dyn_bits += lex;
-    fixed_bits += lex;
-  }
+  // length extra bits are identical for both (accumulated while tokenizing)
+  dyn_bits += len_extra_total;
+  fixed_bits += len_extra_total;
   (void)kFixedLitLens;
   long long stored_bits = 8LL * (n + 5LL * (n ? (n + 65534) / 65535 : 1));
 
@@ -522,27 +530,49 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
       if (t.extra_bits) bw.put(t.extra_val, t.extra_bits);
     }
   }
-  for (const uint32_t tok : tokens) {
+  // merged per-block emit tables: ONE load + ONE accumulate per symbol.
+  // lit_emit: code | bits<<16.  len_emit (match length 3..258): Huffman
+  // code with the extra-bits value fused above it (<= 20 bits total),
+  // total width in the high byte.  dist: bucketed code | bits<<24; the
+  // extra value is fused at emit (it depends on d, not just the bucket).
+  uint32_t lit_emit[257];
+  for (int s = 0; s < 257; ++s)
+    lit_emit[s] = (uint32_t)lit_codes[s] | ((uint32_t)lit_lens[s] << 16);
+  uint32_t len_emit[259];
+  for (int L = 3; L <= 258; ++L) {
+    int ls = T.len_sym[L];
+    len_emit[L] = ((uint32_t)lit_codes[ls] |
+                   ((uint32_t)T.len_extra_val[L] << lit_lens[ls])) |
+                  ((uint32_t)(lit_lens[ls] + T.len_extra_bits[L]) << 24);
+  }
+  uint32_t dist_emit[30];
+  for (int dc = 0; dc < 30; ++dc)
+    dist_emit[dc] = (uint32_t)dist_codes[dc] | ((uint32_t)dist_lens[dc] << 24);
+  for (const uint32_t* tk = tokens.data(); tk != tokens_end; ++tk) {
+    uint32_t tok = *tk;
     if (tok >> 31) {
-      // max 15+5+15+13 = 48 bits per match token; preceding literals may
-      // have left up to 47 bits pending, so flush BEFORE accumulating or
-      // the 64-bit accumulator overflows
+      // max 15+5+15+13 = 48 bits per match token; a flush leaves < 8
+      // pending, so ONE flush up front keeps the accumulator <= 55 bits —
+      // the literal path's pre-put flush (<= 63 invariant) absorbs the
+      // carry-over, so no trailing flush per match
       bw.flush();
-      int L = (int)((tok >> 16) & 0x1FF);
-      int d = (int)(tok & 0xFFFF);
-      int ls = T.len_sym[L];
-      bw.put_nf(lit_codes[ls], lit_lens[ls]);
-      bw.put_nf(T.len_extra_val[L], T.len_extra_bits[L]);
-      int dc = T.dist_bucket(d);
-      bw.put_nf(dist_codes[dc], dist_lens[dc]);
-      bw.put_nf((uint32_t)(d - T.dist_base[dc]), T.dist_extra_bits[dc]);
-      bw.flush();
+      uint32_t le = len_emit[((tok >> 20) & 0xFF) + 3];
+      bw.put_nf(le & 0xFFFFFF, (int)(le >> 24));
+      int d = (int)(tok & 0x7FFF) + 1;
+      int dc = (int)(tok >> 15) & 31;
+      uint32_t de = dist_emit[dc];
+      int db = (int)(de >> 24);
+      bw.put_nf((de & 0xFFFFFF) | ((uint32_t)(d - T.dist_base[dc]) << db),
+                db + T.dist_extra_bits[dc]);
     } else {
-      bw.put_nf(lit_codes[tok], lit_lens[tok]);
-      if (bw.nbits >= 48) bw.flush();
+      // flush BEFORE accumulating: nbits <= 48 here keeps nbits + 15 < 64
+      if (bw.nbits > 48) bw.flush();
+      uint32_t e = lit_emit[tok];
+      bw.put_nf(e & 0xFFFF, (int)(e >> 16));
     }
     if (bw.overflow) return -1;
   }
+  bw.flush();  // up to 63 bits may be pending after the token loop
   bw.put(lit_codes[256], lit_lens[256]);  // EOB
   return bw.finish();
 }
