@@ -124,8 +124,13 @@ def _suite_extras(quick: bool) -> dict:
                 fn()
             for rec in suite.RESULTS:
                 extras[rec["metric"]] = rec["value"]
-                if "ratio" in rec:
-                    extras[rec["metric"] + "_ratio"] = rec["ratio"]
+                # every scalar side-channel rides along (ratio, cores,
+                # zlib_mb_per_sec, vs_zlib_per_core, stage breakdowns ...)
+                for k, v in rec.items():
+                    if k in ("metric", "value", "unit"):
+                        continue
+                    if isinstance(v, (int, float)):
+                        extras[f"{rec['metric']}_{k}"] = v
         except Exception as e:  # noqa: BLE001 - partial extras beat none
             extras[name + "_error"] = str(e)[:200]
     return extras
