@@ -225,3 +225,30 @@ def test_sw_relay_fuzz(seed, N, M, seg, ib):
                                 interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("seed,R,H,r_chunk",
+                         [(0, 24, 16, 8), (1, 16, 40, 8), (2, 40, 24, 16),
+                          (3, 33, 17, 8)])
+def test_pairhmm_cols_relay_fuzz(seed, R, H, r_chunk):
+    """Read-relayed column sweep vs the jnp engine over ragged random
+    lengths — including reads shorter than one chunk, length-1 lanes, and
+    a read span that is not a multiple of r_chunk (the boundary-plane
+    carry crosses mid-lane)."""
+    from gkl_tpu.ops.pairhmm_pallas_cols import pairhmm_raw_pallas_cols_relay
+
+    rng = np.random.default_rng(300 + seed)
+    args = _pairhmm_batch(rng, R, H, 16)
+    hap, read, q, iq, dq, gcp, haplen, rslen = args
+    # force edge lanes: a length-1 read, a length-1 hap, a read exactly at
+    # one chunk, and one a single row past a chunk boundary
+    rslen[0] = 1
+    haplen[1] = 1
+    rslen[2] = min(R, r_chunk)
+    rslen[3] = min(R, r_chunk + 1)
+    ref = np.asarray(pairhmm_raw(*args, dtype="float32"))
+    got = np.asarray(pairhmm_raw_pallas_cols_relay(
+        *args, lane_block=8, r_chunk=r_chunk, interpret=True))
+    ok = ref > 1e-28  # below MIN_ACCEPTED the API rescues in f64
+    assert ok.any()
+    np.testing.assert_allclose(got[ok], ref[ok], rtol=3e-5)
