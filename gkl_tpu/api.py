@@ -418,9 +418,12 @@ class PairHMM:
                     raw = parallel.pairhmm_raw_pallas_cols_relay_sharded(
                         self.mesh, packed)
                 else:
-                    _warn_pallas_falloff("mesh", H=H, R=R,
-                                         P=packed.hap.shape[1],
-                                         mesh_size=self.mesh.size)
+                    if utils.is_tpu_available():
+                        # only loud on TPU backends — on a CPU mesh the
+                        # jnp engine IS the engine, not a degradation
+                        _warn_pallas_falloff("mesh", H=H, R=R,
+                                             P=packed.hap.shape[1],
+                                             mesh_size=self.mesh.size)
                     raw = parallel.pairhmm_raw_sharded(self.mesh, packed, dtype="float32")
             return np.asarray(raw)[: packed.n_real]
         if dtype == "float32" and self._use_pallas(0):

@@ -143,8 +143,16 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
         return carry
 
+    _run_columns(body, CH)
+
+
+def _run_columns(body, CH):
+    """Drive ``body(jc, carry)`` over the CH chunk columns, 4-wide unrolled
+    when CH allows (pipelines measurably better).  Shared by the plain and
+    relay kernels so the out accumulation's reassociation stays IDENTICAL —
+    the single-chunk-relay == plain-cols bit-equality contract depends on
+    both using the same unroll."""
     if CH % 4 == 0:
-        # 4-column unrolled chunks pipeline measurably better
         def chunk(c, carry):
             for k in range(4):
                 body(c * 4 + jnp.int32(k), carry)
@@ -155,9 +163,9 @@ def _kernel(hap_ref, read_ref, dmatch_ref, dmis_ref, pmm_ref, pgapm_ref,
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), body, jnp.int32(0))
 
 
-def _kernel_relay(first_chunk, r0, hap_ref, bm_ref, bx_ref, by_ref, read_ref,
+def _kernel_relay(hap_ref, bm_ref, bx_ref, by_ref, read_ref,
                   dmatch_ref, dmis_ref, pmm_ref, pgapm_ref, pmx_ref, pxx_ref,
-                  pmy_ref, pyy_ref, inity_ref, rslen_ref, haplen_ref,
+                  pmy_ref, pyy_ref, pby0_ref, rslen_ref, haplen_ref,
                   out_ref, bmo_ref, bxo_ref, byo_ref,
                   m_ref, x_ref, y_ref, pbm_ref, pbx_ref, pby_ref):
     """Column-sweep kernel over a READ-axis chunk [r0+1, r0+R] of the DP.
@@ -189,10 +197,11 @@ def _kernel_relay(first_chunk, r0, hap_ref, bm_ref, bx_ref, by_ref, read_ref,
     pxx = pxx_ref[:]
     pmy = pmy_ref[:]
     pyy = pyy_ref[:]
-    inity = inity_ref[:]  # (1, LP)
     haplen = haplen_ref[:]
-    # rows are global DP rows r0+1 .. r0+R
-    last_row = jnp.where((row_iota + 1 + r0) == rslen_ref[:], f32(1.0), f32(0.0))
+    # rows are global DP rows r0+1 .. r0+R; rslen_ref carries rslen - r0
+    # (a RUNTIME input, so every interior chunk reuses ONE compiled kernel
+    # instead of baking r0 in as a trace-time constant)
+    last_row = jnp.where((row_iota + 1) == rslen_ref[:], f32(1.0), f32(0.0))
     last_sel = jnp.where(row_iota == R - 1, f32(1.0), f32(0.0))
 
     @pl.when(jgrid == 0)
@@ -205,10 +214,10 @@ def _kernel_relay(first_chunk, r0, hap_ref, bm_ref, bx_ref, by_ref, read_ref,
         zrow1 = jnp.zeros((1, LP), f32)
         pbm_ref[:] = zrow1
         pbx_ref[:] = zrow1
-        # boundary at DP column 0: (0, 0, inity) for the first chunk
-        # (virtual row 0), all-zero for deeper chunks (column 0 of any
-        # row >= 1 is zero)
-        pby_ref[:] = inity if first_chunk else zrow1
+        # boundary at DP column 0: the driver passes inity for the first
+        # chunk (virtual row 0), all-zero for deeper chunks (column 0 of
+        # any row >= 1 is zero) — a runtime input, not a compile split
+        pby_ref[:] = pby0_ref[:]
 
     def shift1(v, first):
         return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
@@ -280,23 +289,12 @@ def _kernel_relay(first_chunk, r0, hap_ref, bm_ref, bx_ref, by_ref, read_ref,
         out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
         return carry
 
-    if CH % 4 == 0:
-        # same 4-column unroll as _kernel — pipelines better AND keeps the
-        # out accumulation's reassociation identical, so a single-chunk
-        # relay is bit-equal to the plain cols kernel
-        def chunk(c, carry):
-            for k in range(4):
-                body(c * 4 + jnp.int32(k), carry)
-            return carry
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH // 4), chunk, jnp.int32(0))
-    else:
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), body, jnp.int32(0))
+    _run_columns(body, CH)
 
 
 def _cols_relay_call(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm,
-                     p_mx, p_xx, p_my, p_yy, inity, rslen2, haplen2,
-                     *, first_chunk, r0, lane_block, interpret):
+                     p_mx, p_xx, p_my, p_yy, pby0, rslen_local2, haplen2,
+                     *, lane_block, interpret):
     H, P = hap_i.shape
     R = read_i.shape[0]
     CH = H
@@ -320,9 +318,8 @@ def _cols_relay_call(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm,
     out_specs = [lane_spec(1), hap_spec(), hap_spec(), hap_spec()]
     out_shape = [jax.ShapeDtypeStruct((1, P), jnp.float32)] + \
                 [jax.ShapeDtypeStruct((H, P), jnp.float32)] * 3
-    kernel = functools.partial(_kernel_relay, first_chunk, r0)
     return pl.pallas_call(
-        kernel,
+        _kernel_relay,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -336,7 +333,7 @@ def _cols_relay_call(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm,
         ),
         interpret=interpret,
     )(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm, p_mx, p_xx,
-      p_my, p_yy, inity, rslen2, haplen2)
+      p_my, p_yy, pby0, rslen_local2, haplen2)
 
 
 @functools.partial(jax.jit, static_argnames=("lane_block", "r_chunk", "interpret"))
@@ -386,15 +383,18 @@ def pairhmm_raw_pallas_cols_relay(hap, read, q, iq, dq, gcp, haplen, rslen,
         bx = jnp.zeros((H, P), jnp.float32)
         by = jnp.broadcast_to(inity, (H, P)).astype(jnp.float32)
         acc = jnp.zeros((1, P), jnp.float32)
+        zrow = jnp.zeros_like(inity)
         for r0 in range(0, R, r_chunk):
             rc = min(r_chunk, R - r0)
             sl = slice(r0, r0 + rc)
+            # per-chunk scalars ride as runtime inputs (rslen - r0 and the
+            # column-0 Y seed), so every interior chunk reuses ONE compiled
+            # Mosaic kernel; only a ragged tail chunk adds a second shape
             out, bm, bx, by = _cols_relay_call(
                 hap_i, bm, bx, by, read_i[sl], dmatch[sl], dmis[sl],
                 p_mm[sl], p_gapm[sl], p_mx[sl], p_xx[sl], p_my[sl], p_yy[sl],
-                inity, rslen2, haplen2,
-                first_chunk=(r0 == 0), r0=r0, lane_block=lane_block,
-                interpret=interpret)
+                inity if r0 == 0 else zrow, rslen2 - jnp.int32(r0), haplen2,
+                lane_block=lane_block, interpret=interpret)
             acc = acc + out
     return acc[0]
 

@@ -164,10 +164,13 @@ def pairhmm_raw_global(mesh, packed_local, dtype: str = "float32", *,
         engine = "pallas" if dtype == "float32" and per_dev_ok else "jnp"
         from .. import utils
 
-        if engine == "jnp" and utils.is_tpu_available():
+        if (engine == "jnp" and dtype == "float32"
+                and utils.is_tpu_available()):
             # never degrade to the ~50x-slower jnp engine silently on a
             # pod: one misconfigured lane count should be loud
-            # (GKL_TPU_STRICT_PALLAS=1 raises, api._warn_pallas_falloff)
+            # (GKL_TPU_STRICT_PALLAS=1 raises, api._warn_pallas_falloff).
+            # f64 requests legitimately resolve to jnp (the only f64
+            # engine) and stay quiet.
             from ..api import _warn_pallas_falloff
 
             _warn_pallas_falloff("pod-auto", dtype=dtype, P_local=P_local,
@@ -296,14 +299,31 @@ def sw_relay_global(mesh, ref_local, alt_local, reflen_local, altlen_local,
     h, f, lr = ga(h0), ga(f0), ga(lr0)
     bt_host = np.empty((P_local, N // 2, M), np.uint8)
     lc_host = np.empty((P_local, N), np.int32)
+    # double-buffered readback, like the single-host relay_drive: segment
+    # s+1 is dispatched (and s's per-shard D2H copies started async) BEFORE
+    # s's slabs are materialised, so the O(N*M/2) backtrack DMA rides under
+    # the next segment's compute instead of blocking it
+    pending = None  # (s0, bt_s, lc_s) dispatched but not yet materialised
     with mesh:
         for s0 in range(0, N, seg):
             bt_s, lastrow, lc_s, h, f = fn(
                 ga(ref_i[s0 : s0 + seg]), alt_g, reflen_g, altlen_g,
                 h, f, lr, ga(np.full((1, P_local), s0, np.int32)))
             lr = lastrow
-            bt_host[:, s0 // 2 : (s0 + seg) // 2] = _fetch_local(bt_s, 0)
-            lc_host[:, s0 : s0 + seg] = _fetch_local(lc_s, 0)
+            for a in (bt_s, lc_s):
+                for sh in a.addressable_shards:
+                    start = getattr(sh.data, "copy_to_host_async", None)
+                    if start is not None:
+                        start()
+            if pending is not None:
+                p0, pbt, plc = pending
+                bt_host[:, p0 // 2 : (p0 + seg) // 2] = _fetch_local(pbt, 0)
+                lc_host[:, p0 : p0 + seg] = _fetch_local(plc, 0)
+            pending = (s0, bt_s, lc_s)
+        if pending is not None:
+            p0, pbt, plc = pending
+            bt_host[:, p0 // 2 : (p0 + seg) // 2] = _fetch_local(pbt, 0)
+            lc_host[:, p0 : p0 + seg] = _fetch_local(plc, 0)
     return bt_host, _fetch_local(lr, 1), lc_host
 
 
@@ -341,6 +361,10 @@ def pdhmm_chunked_global(mesh, packed_local, hap_pd_local, states_local, *,
     ic_g, haplen_g = ga(ic), ga(haplen2)
     bnd = [ga(b) for b in bnd0]
     rslen_np = np.asarray(rslen_i)
+    # materialize the row planes ONCE: np.asarray inside the chunk loop
+    # would re-fetch every full (R_pad, P) plane from device per chunk —
+    # O(n_chunks^2) D2H traffic, quadratic in read length
+    rows_np = [np.asarray(a) for a in rows]
     out_local = np.zeros((1, P_local), np.float32)
     with mesh:
         for c in range(n_chunks):
@@ -349,7 +373,7 @@ def pdhmm_chunked_global(mesh, packed_local, hap_pd_local, states_local, *,
             first = ga(np.full((1, P_local), 1 if c == 0 else 0, np.int32))
             rslen_local = ga((rslen_np - r0)[None, :])
             part, bnd = fn(flags_g, hap_g, pd_g, st_g,
-                           *[ga(np.asarray(a)[sl]) for a in rows],
+                           *[ga(a[sl]) for a in rows_np],
                            ic_g, haplen_g, rslen_local, first, *bnd)
             out_local += _fetch_local(part, 1)
     return out_local[0]
