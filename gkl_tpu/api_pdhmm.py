@@ -67,6 +67,10 @@ class PDHaplotypeData(HaplotypeData):
 
     def __post_init__(self):
         super().__post_init__()
+        if self.haplotype_pdbases is None:
+            raise ValueError(
+                "haplotype_pdbases is required (the PD flag bytes; pass an "
+                "all-zero array for a fully determined haplotype)")
         self.haplotype_pdbases = np.asarray(self.haplotype_pdbases).astype(np.uint8)
 
 
@@ -162,11 +166,9 @@ class PDHMM:
         return "float64" if self.args.use_double_precision else "float32"
 
     # ------------------------------------------------------------------
-    _BOOST_LOG2 = 600.0  # dynamic-range rescue scale (exact power of two)
     _EXACT_FALLBACK_LOG10 = -590.0  # below this, subnormal quantization matters
 
-    def _run_packed(self, hap, hap_pd, read, q, iq, dq, gcp, haplen, rslen, dtype,
-                    boost_row=None):
+    def _run_packed(self, hap, hap_pd, read, q, iq, dq, gcp, haplen, rslen, dtype):
         """Run the kernel on packed (len, lane) arrays; returns log10 result."""
         states = pdhmm_ops.column_states(hap_pd)
         if dtype == "float64" and not utils.supports_native_float64():
@@ -175,14 +177,12 @@ class PDHMM:
             import contextlib
 
             scope = contextlib.nullcontext()
-        boost_log2 = self._BOOST_LOG2 if boost_row is not None else 0.0
         # VMEM caps the single-pass kernel's read bucket (pdhmm_single_fits,
         # measured on v5e); longer reads relay through the chunked kernel.
         from .ops import pdhmm_pallas as _pp
 
         pallas_on = (
             dtype == "float32"
-            and boost_row is None
             and self.args.kernel_level != KernelLevel.SCALAR
             and utils.is_tpu_available()
             and hap.shape[1] % 128 == 0
@@ -210,7 +210,7 @@ class PDHMM:
                 f" hap_bucket={hap.shape[0]}, read_bucket={read.shape[0]})"
             )
         with scope:
-            if self.mesh is not None and dtype == "float32" and boost_row is None:
+            if self.mesh is not None and dtype == "float32":
                 from . import parallel
                 from .batch import PackedPairs
 
@@ -219,6 +219,22 @@ class PDHMM:
                                      rslen.astype(np.int32), hap.shape[1])
                 with self.mesh:
                     mesh_lanes_ok = hap.shape[1] % (128 * self.mesh.size) == 0
+                    if (use_pallas or use_chunked) and not mesh_lanes_ok:
+                        # misaligned lanes drop the mesh path to the jnp
+                        # scan: forced PALLAS keeps its raise-on-
+                        # unsatisfiable contract, auto is loud like
+                        # PairHMM's falloff diagnostic
+                        if self.args.kernel_level == KernelLevel.PALLAS:
+                            raise RuntimeError(
+                                "KernelLevel.PALLAS requested but lanes "
+                                f"({hap.shape[1]}) do not fill 128 * "
+                                f"mesh.size ({128 * self.mesh.size})")
+                        if utils.is_tpu_available():
+                            from .api import _warn_pallas_falloff
+
+                            _warn_pallas_falloff(
+                                "pdhmm-mesh", lanes=hap.shape[1],
+                                mesh_size=self.mesh.size)
                     if use_pallas and mesh_lanes_ok:
                         # mesh path keeps the Pallas fast path per shard
                         raw = np.asarray(
@@ -251,7 +267,7 @@ class PDHMM:
                 raw = np.asarray(
                     pdhmm_ops.pdhmm_raw(
                         hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
-                        boost_row, boost_log2, dtype=dtype,
+                        dtype=dtype,
                     )
                 )
         import gkl_tpu.context as ctx_mod
@@ -262,8 +278,6 @@ class PDHMM:
                 res = (np.log10(raw.astype(np.float32)) - ctx.INITIAL_CONDITION_LOG10).astype(np.float64)
             else:
                 res = np.log10(raw) - ctx.INITIAL_CONDITION_LOG10
-        if boost_row is not None:
-            res = res - boost_log2 * np.log10(2.0)
         return res, raw
 
     def _try_indexed(self, idxs, haps, hap_pds, reads, quals, lane_multiple):
@@ -454,15 +468,42 @@ class PDHMM:
                     # need the gradual-underflow oracle
                     needs = (raw_n == 0.0) | (res < self._EXACT_FALLBACK_LOG10)
                 if np.any(needs):
+                    from . import native_lib
                     from .ops import pdhmm_ref
 
                     ks = np.nonzero(needs)[0]
                     ids = [idxs[k] for k in ks]
-                    res[ks] = pdhmm_ref.pdhmm_scalar_batch(
-                        [haps[i] for i in ids], [hap_pds[i] for i in ids],
-                        [reads[i] for i in ids], [quals[i] for i in ids],
-                        threads=self._effective_threads(),
-                    )
+                    if (dtype == "float32"
+                            and native_lib.load("gkl_pdhmm_oracle") is None):
+                        # no native oracle on this host: bound the per-lane
+                        # Python scalar fallback with a compact f64 jnp pass
+                        # first (the pre-oracle rescue ladder) — routine f32
+                        # underflow resolves there; only lanes that STILL
+                        # flush to zero (or land in the subnormal parity
+                        # zone) pay the scalar DP
+                        sub = batch_mod.pack_pairs(
+                            [haps[i] for i in ids], [reads[i] for i in ids],
+                            [quals[i] for i in ids],
+                            lane_multiple=lane_multiple, qual_fill=40)
+                        Hs, Ps = sub.hap.shape
+                        sub_pd = np.zeros((Hs, Ps), np.uint8)
+                        for k2, i in enumerate(ids):
+                            sub_pd[: len(hap_pds[i]), k2] = hap_pds[i]
+                        res64, raw64 = self._run_packed(
+                            sub.hap, sub_pd, sub.read, sub.q, sub.iq, sub.dq,
+                            sub.gcp, sub.haplen, sub.rslen, "float64")
+                        res[ks] = res64[: sub.n_real]
+                        deep = ((raw64[: sub.n_real] == 0.0)
+                                | (res64[: sub.n_real]
+                                   < self._EXACT_FALLBACK_LOG10))
+                        ks = ks[deep]
+                        ids = [i for i, d in zip(ids, deep) if d]
+                    if len(ids):
+                        res[ks] = pdhmm_ref.pdhmm_scalar_batch(
+                            [haps[i] for i in ids], [hap_pds[i] for i in ids],
+                            [reads[i] for i in ids], [quals[i] for i in ids],
+                            threads=self._effective_threads(),
+                        )
             out[np.asarray(idxs)] = res
 
         if profiling.metrics_enabled():
@@ -511,6 +552,17 @@ class PDHMM:
         def to2d(x, maxlen, name):
             x = np.asarray(x)
             if x.ndim == 2:
+                # 2-D inputs get the SAME contract checks as the flat
+                # layout: batchSize rows and (when the caller's declared or
+                # sibling-derived max length is known) exactly that width —
+                # a narrower qual/PD plane would otherwise silently
+                # truncate and produce wrong likelihoods
+                if x.shape[0] != t:
+                    raise ValueError(
+                        f"{name} has {x.shape[0]} rows, expected batchSize = {t}")
+                if maxlen is not None and x.shape[1] != maxlen:
+                    raise ValueError(
+                        f"{name} has width {x.shape[1]}, expected maxLength = {maxlen}")
                 return x.astype(np.uint8)
             if maxlen is None:
                 if x.size % t:

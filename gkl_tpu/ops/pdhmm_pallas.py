@@ -136,6 +136,65 @@ def _m2m_pdhmm_arith(im, dm):
     return jnp.clip(one_minus_p, f32(0.0), f32(1.0))
 
 
+
+def _ins_ladder_levels(t_dd, row_iota, R):
+    """(span, q, p2) coefficient levels for the Hillis-Steele insertion
+    scans, shared by the single-pass and chunked kernels (ONE definition so
+    the engines cannot silently diverge).  Span products ride as exact
+    (mantissa, exponent) factor pairs applied as two f32 multiplies — raw
+    span products underflow f32 while their contributions can still
+    dominate (see pairhmm_pallas._split_coeff).  Span 1 cannot underflow
+    (t_ii >= 2^-85 at MAX_QUAL 254), so its exact single-factor form skips
+    the extra in-loop multiply; span-2 products already can (2^-169)."""
+    f32 = jnp.float32
+    levels = []
+    am, ae = _renorm_mant(t_dd)  # t_ii == t_dd
+    span = 1
+    while span < R:
+        if span == 1:
+            levels.append((span, t_dd, None))
+        else:
+            levels.append((span,) + _split_coeff(am, ae))
+        m2 = am * jnp.where(row_iota >= span,
+                            pltpu.roll(am, jnp.int32(span), 0), f32(1.0))
+        e2 = ae + jnp.where(row_iota >= span,
+                            pltpu.roll(ae, jnp.int32(span), 0), jnp.int32(0))
+        am, d = _renorm_mant(m2)
+        ae = e2 + d
+        span <<= 1
+    return levels
+
+
+def _affine_scan(b, a_levels, row_iota):
+    """Plain affine insertion scan: b[r] += a_span * b[r - span] per level."""
+    f32 = jnp.float32
+    for k, q_k, p2_k in a_levels:
+        b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+        t = q_k * b_sh
+        if p2_k is not None:
+            t = t * p2_k
+        b = t + b
+    return b
+
+
+def _max_affine_scan(b, c, a_levels, row_iota):
+    """Dual max-affine ladder composing x -> max(c, a*x + b) maps (the
+    DEL_END insertion recurrence); returns the composed (b, c)."""
+    f32 = jnp.float32
+    for k, q_k, p2_k in a_levels:
+        in_range = row_iota >= k
+        c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
+        b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
+        tc = q_k * c_sh
+        tb = q_k * b_sh
+        if p2_k is not None:
+            tc = tc * p2_k
+            tb = tb * p2_k
+        c = jnp.maximum(c, tc + b)
+        b = tb + b
+    return b, c
+
+
 def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
             tmi_ref, tmd_ref, tim_ref, tdd_ref, pmatch_ref, pmis_ref, ic_ref,
             haplen_ref, rslen_ref, out_ref,
@@ -178,25 +237,8 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
     # Hillis-Steele ``a`` products are column-invariant (t_ii depends only on
     # row quals), so the per-level accumulated products are hoisted out of
     # the column loop: level l applies the product of a over the 2^l-row
-    # span.  The products ride as (mantissa, exponent) pairs applied as two
-    # exact f32 factors — raw span products underflow f32 while their
-    # contributions can still dominate (see pairhmm_pallas._split_coeff).
-    # span 1 cannot underflow (t_ii >= 2^-85 at MAX_QUAL 254), so its exact
-    # single-factor form skips the extra in-loop multiply; span-2 products
-    # already can (2^-169).
-    a_levels = []
-    am, ae = _renorm_mant(t_dd)  # t_ii == t_dd
-    k = 1
-    while k < R:
-        if k == 1:
-            a_levels.append((k, t_dd, None))
-        else:
-            a_levels.append((k,) + _split_coeff(am, ae))
-        m2 = am * jnp.where(row_iota >= k, pltpu.roll(am, jnp.int32(k), 0), f32(1.0))
-        e2 = ae + jnp.where(row_iota >= k, pltpu.roll(ae, jnp.int32(k), 0), jnp.int32(0))
-        am, d = _renorm_mant(m2)
-        ae = e2 + d
-        k <<= 1
+    # span (range-extension details: _ins_ladder_levels).
+    a_levels = _ins_ladder_levels(t_dd, row_iota, R)
 
     block = pl.program_id(0)
 
@@ -223,13 +265,7 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
             m = prior * (m_dg * t_mm + (i_dg + d_dg) * t_im)
             d = m_l * t_md + d_l * t_dd
             # affine insertion scan (no max-merges): b[r] += a_span * b[r-2^k]
-            b = t_mi * shift1(m, zrow)
-            for k, q_k, p2_k in a_levels:
-                b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                t = q_k * b_sh
-                if p2_k is not None:
-                    t = t * p2_k
-                b = t + b
+            b = _affine_scan(t_mi * shift1(m, zrow), a_levels, row_iota)
             m_ref[:] = m
             i_ref[:] = b
             d_ref[:] = d
@@ -274,14 +310,8 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
                 # dual max-affine ladder below is the expensive half of the
                 # slow path and only DEL_END columns need it).  Scattered
                 # per-lane events are mostly tier-1 columns.
-                b = t_mi * shift1(m, zrow)
-                for k, q_k, p2_k in a_levels:
-                    b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                    t = q_k * b_sh
-                    if p2_k is not None:
-                        t = t * p2_k
-                    b = t + b
-                ins = b
+                ins = _affine_scan(t_mi * shift1(m, zrow), a_levels,
+                                   row_iota)
             else:
                 del_end = (pd_b & DEL_END) != 0
                 # insertion: I[r] = t_mi[r]*top_m + t_ii[r]*(del_end ?
@@ -291,17 +321,7 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
                 m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
                 b = t_mi * shift1(m_eff, zrow)
                 c = jnp.where(del_end, b + t_dd * shift1(bi, zrow), zero)
-                for k, q_k, p2_k in a_levels:
-                    in_range = row_iota >= k
-                    c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
-                    b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                    tc = q_k * c_sh
-                    tb = q_k * b_sh
-                    if p2_k is not None:
-                        tc = tc * p2_k
-                        tb = tb * p2_k
-                    c = jnp.maximum(c, tc + b)
-                    b = tb + b
+                b, c = _max_affine_scan(b, c, a_levels, row_iota)
                 ins = jnp.maximum(c, b)  # applied to I[0] = 0
 
             m_ref[:] = m
@@ -337,19 +357,21 @@ def _kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref, tmm_ref,
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(H), body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
-def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
-                     *, lane_block: int = LANE_BLOCK, interpret: bool = False):
-    """float32 PDHMM forward probability per lane (TPU Pallas path).
 
-    Same contract as ``pdhmm.pdhmm_raw(..., dtype='float32')`` without the
-    boost arguments (underflow rescue is the caller's float64 pass); lanes
-    must be a multiple of ``lane_block``.
-    """
+def _host_prep(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, lane_block):
+    """Host-side prep shared by the single-pass and chunked drivers (ONE
+    definition so the engines cannot silently diverge): per-row transition
+    and prior rows (pdhmm-serial.cc:181-226, computed via closed forms —
+    one-hot/table lookups are HBM- or scalar-core-bound and cost more than
+    the whole DP kernel), PD SNP-match bits, the initial condition row,
+    i32 casts, and the per-(block, column) tier flags:
+      0 — no PD byte / non-NORMAL state in the block (plain column);
+      1 — eventful but NO DEL_END (branch bookkeeping, plain ins scan);
+      2 — DEL_END present (full dual max-affine ladder).
+    (AFTER_DEL merge columns have pd == 0, hence the state term.)"""
     ctx = ctx_mod.pdhmm_context("float32")
     f = jnp.float32
     H, P = hap.shape
-    R = read.shape[0]
     assert P % lane_block == 0, (P, lane_block)
 
     def qidx(x):
@@ -359,17 +381,12 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     dm = qidx(dq)
     cm = qidx(gcp)
     qm = qidx(q)
-
-    # per-row transitions (pdhmm-serial.cc:181-226), computed once outside
-    # the kernel via closed forms — one-hot/table lookups are HBM- or
-    # scalar-core-bound and cost more than the whole DP kernel
     t_mm = _m2m_pdhmm_arith(im, dm)
     t_mi = _q2e_arith(im)
     t_md = _q2e_arith(dm)
     q2e_cm = _q2e_arith(cm)
     t_im = f(1.0) - q2e_cm
     t_dd = q2e_cm
-
     err = _q2e_arith(qm)
     p_match = f(1.0) - err
     p_mis = err / f(3.0)
@@ -384,21 +401,34 @@ def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     pd_i = hap_pd.astype(jnp.int32)
     st_i = states.astype(jnp.int32)
     haplen2 = haplen.astype(jnp.int32)[None, :]
-    rslen2 = rslen.astype(jnp.int32)[None, :]
 
-    # per-(block, column) tier flag, delivered via scalar prefetch (SMEM):
-    #   0 — no PD byte / non-NORMAL state in the block (plain column);
-    #   1 — eventful but NO DEL_END (branch bookkeeping, plain ins scan);
-    #   2 — DEL_END present (full dual max-affine ladder).
-    # (AFTER_DEL merge columns have pd == 0, hence the state term.)
     nblocks = P // lane_block
     eventful = (pd_i != 0) | (st_i != 0)  # (H, P) bool
     has_de = (pd_i & DEL_END) != 0
     f1 = eventful.reshape(H, nblocks, lane_block).any(axis=2)
     f2 = has_de.reshape(H, nblocks, lane_block).any(axis=2)
     flags = (f1.astype(jnp.int32) + f2.astype(jnp.int32)).T  # (nblocks, H)
+    return (flags, hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im,
+            t_dd, p_match, p_mis, ic, haplen2)
 
-    grid = (nblocks,)
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "interpret"))
+def pdhmm_raw_pallas(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
+                     *, lane_block: int = LANE_BLOCK, interpret: bool = False):
+    """float32 PDHMM forward probability per lane (TPU Pallas path).
+
+    Same contract as ``pdhmm.pdhmm_raw(..., dtype='float32')`` without the
+    boost arguments (underflow rescue is the caller's float64 pass); lanes
+    must be a multiple of ``lane_block``.
+    """
+    H, P = hap.shape
+    R = read.shape[0]
+    (flags, hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
+     p_match, p_mis, ic, haplen2) = _host_prep(
+        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, lane_block)
+    rslen2 = rslen.astype(jnp.int32)[None, :]
+
+    grid = (P // lane_block,)
 
     def lane_spec(length):
         return pl.BlockSpec(
@@ -500,19 +530,7 @@ def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
     def shift1(v, first):
         return jnp.where(row_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
 
-    a_levels = []
-    am, ae = _renorm_mant(t_dd)
-    k = 1
-    while k < R:
-        if k == 1:
-            a_levels.append((k, t_dd, None))
-        else:
-            a_levels.append((k,) + _split_coeff(am, ae))
-        m2 = am * jnp.where(row_iota >= k, pltpu.roll(am, jnp.int32(k), 0), f32(1.0))
-        e2 = ae + jnp.where(row_iota >= k, pltpu.roll(ae, jnp.int32(k), 0), jnp.int32(0))
-        am, d = _renorm_mant(m2)
-        ae = e2 + d
-        k <<= 1
+    a_levels = _ins_ladder_levels(t_dd, row_iota, R)
 
     block = pl.program_id(0)
 
@@ -545,13 +563,10 @@ def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
             d = m_l * t_md + d_l * t_dd
             # affine insertion scan; the chunk's top I folds into row 0's
             # inhomogeneous term: b[0] = t_mi*M_top + t_ii*I_top
-            b = t_mi * shift1(m, tm) + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0))
-            for k, q_k, p2_k in a_levels:
-                b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                t = q_k * b_sh
-                if p2_k is not None:
-                    t = t * p2_k
-                b = t + b
+            b = _affine_scan(
+                t_mi * shift1(m, tm)
+                + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0)),
+                a_levels, row_iota)
             m_ref[:] = m
             i_ref[:] = b
             d_ref[:] = d
@@ -593,15 +608,10 @@ def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
             if not has_del_end:
                 # tier 1 (see _kernel): no DEL_END in the block at this
                 # column — plain affine insertion scan
-                b = (t_mi * shift1(m, tm)
-                     + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0)))
-                for k, q_k, p2_k in a_levels:
-                    b_sh = jnp.where(row_iota >= k, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                    t = q_k * b_sh
-                    if p2_k is not None:
-                        t = t * p2_k
-                    b = t + b
-                ins = b
+                ins = _affine_scan(
+                    t_mi * shift1(m, tm)
+                    + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0)),
+                    a_levels, row_iota)
             else:
                 del_end = (pd_b & DEL_END) != 0
                 m_eff = jnp.where(del_end, jnp.maximum(bm, m), m)
@@ -609,17 +619,7 @@ def _chunk_kernel(flags_ref, hap_ref, pd_ref, st_ref, read_ref, rbit_ref,
                 b_base = t_mi * shift1(m_eff, m_eff_top)
                 b = b_base + jnp.where(row_iota == 0, t_dd0 * ti, f32(0.0))
                 c = jnp.where(del_end, b_base + t_dd * shift1(bi, tbi), zero)
-                for k, q_k, p2_k in a_levels:
-                    in_range = row_iota >= k
-                    c_sh = jnp.where(in_range, pltpu.roll(c, jnp.int32(k), 0), f32(0.0))
-                    b_sh = jnp.where(in_range, pltpu.roll(b, jnp.int32(k), 0), f32(0.0))
-                    tc = q_k * c_sh
-                    tb = q_k * b_sh
-                    if p2_k is not None:
-                        tc = tc * p2_k
-                        tb = tb * p2_k
-                    c = jnp.maximum(c, tc + b)
-                    b = tb + b
+                b, c = _max_affine_scan(b, c, a_levels, row_iota)
                 ins = jnp.maximum(c, b)
 
             m_ref[:] = m
@@ -740,50 +740,15 @@ def chunked_prep(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
     multi-host ``pdhmm_chunked_global``: transition/prior rows, PD flags,
     read-axis padding, initial boundary planes.  Pure per-lane work — on a
     pod every process preps its OWN lane slab."""
-    ctx = ctx_mod.pdhmm_context("float32")
-    f = jnp.float32
     H, P = hap.shape
     R = read.shape[0]
-    assert P % lane_block == 0, (P, lane_block)
     if r_chunk is None:
         r_chunk = _chunk_rc(H, lane_block)
     assert r_chunk > 0, (H, lane_block)
-
-    def qidx(x):
-        return jnp.minimum(x.astype(jnp.int32), ctx_mod.MAX_QUAL)
-
-    im = qidx(iq)
-    dm = qidx(dq)
-    cm = qidx(gcp)
-    qm = qidx(q)
-    t_mm = _m2m_pdhmm_arith(im, dm)
-    t_mi = _q2e_arith(im)
-    t_md = _q2e_arith(dm)
-    q2e_cm = _q2e_arith(cm)
-    t_im = f(1.0) - q2e_cm
-    t_dd = q2e_cm
-    err = _q2e_arith(qm)
-    p_match = f(1.0) - err
-    p_mis = err / f(3.0)
-
-    read_i = read.astype(jnp.int32)
-    rbit = jnp.zeros_like(read_i)
-    for _c, _b in _READ_BIT_PAIRS:
-        rbit = jnp.where(read_i == _c, _b, rbit)
-    ic = (jnp.asarray(ctx.INITIAL_CONDITION, f) / haplen.astype(f))[None, :]
-    hap_i = hap.astype(jnp.int32)
-    pd_i = hap_pd.astype(jnp.int32)
-    st_i = states.astype(jnp.int32)
-    haplen2 = haplen.astype(jnp.int32)[None, :]
+    (flags, hap_i, pd_i, st_i, read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd,
+     p_match, p_mis, ic, haplen2) = _host_prep(
+        hap, hap_pd, states, read, q, iq, dq, gcp, haplen, lane_block)
     rslen_i = rslen.astype(jnp.int32)
-
-    # same 3-tier flags as pdhmm_raw_pallas (0 fast / 1 eventful / 2 DEL_END)
-    nblocks = P // lane_block
-    eventful = (pd_i != 0) | (st_i != 0)
-    has_de = (pd_i & DEL_END) != 0
-    f1 = eventful.reshape(H, nblocks, lane_block).any(axis=2)
-    f2 = has_de.reshape(H, nblocks, lane_block).any(axis=2)
-    flags = (f1.astype(jnp.int32) + f2.astype(jnp.int32)).T
 
     n_chunks = -(-R // r_chunk)
     R_pad = n_chunks * r_chunk
@@ -801,7 +766,7 @@ def chunked_prep(hap, hap_pd, states, read, q, iq, dq, gcp, haplen, rslen,
         p_match = jnp.pad(p_match, padr, constant_values=0.9)
         p_mis = jnp.pad(p_mis, padr, constant_values=0.03)
 
-    zerof = jnp.zeros((H, P), f)
+    zerof = jnp.zeros((H, P), jnp.float32)
     ic_plane = jnp.broadcast_to(ic, (H, P))
     bnd0 = [zerof, zerof, ic_plane, zerof, zerof, zerof]
     rows = (read_i, rbit, t_mm, t_mi, t_md, t_im, t_dd, p_match, p_mis)

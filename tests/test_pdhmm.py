@@ -332,3 +332,85 @@ def test_indexed_dedup_rescue_interaction(monkeypatch):
     monkeypatch.setattr(api_pdhmm, "MIN_ACCEPTED", 1.0)  # rescue everything
     got = PDHMM(lane_multiple=8).compute_likelihoods(reads, haps)
     np.testing.assert_allclose(got, expected, atol=TOL)
+
+
+def test_2d_input_shape_validation():
+    """2-D flat-path inputs get the same contract checks as the Java flat
+    layout: wrong row counts and mismatched plane widths raise instead of
+    silently truncating (regression: a (t, 100) qual plane next to a
+    (t, 150) read plane used to be padded with qual_fill and return wrong
+    likelihoods)."""
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    t, hl_n, rl_n = 4, 20, 12
+    hap = bases[rng.integers(0, 4, (t, hl_n))]
+    pd = np.zeros((t, hl_n), np.uint8)
+    read = bases[rng.integers(0, 4, (t, rl_n))]
+    q = np.full((t, rl_n), 30, np.uint8)
+    hl = np.full(t, hl_n, np.int64)
+    rl = np.full(t, rl_n, np.int64)
+    hmm = PDHMM()
+
+    ok = hmm.compute_pdhmm(hap, pd, read, q, q, q, q, hl, rl, batch_size=t)
+    assert ok.shape == (t,)
+
+    with pytest.raises(ValueError, match="width"):  # narrow qual plane
+        hmm.compute_pdhmm(hap, pd, read, q[:, :-2], q, q, q, hl, rl,
+                          batch_size=t)
+    with pytest.raises(ValueError, match="width"):  # narrow PD plane
+        hmm.compute_pdhmm(hap, pd[:, :-1], read, q, q, q, q, hl, rl,
+                          batch_size=t)
+    with pytest.raises(ValueError, match="rows"):   # short batch
+        hmm.compute_pdhmm(hap[:-1], pd, read, q, q, q, q, hl, rl,
+                          batch_size=t)
+    with pytest.raises(ValueError, match="width"):  # declared max mismatch
+        hmm.compute_pdhmm(hap, pd, read, q, q, q, q, hl, rl, batch_size=t,
+                          max_read_length=rl_n + 8)
+
+
+def test_pdhaplotype_requires_pdbases():
+    """Omitting the PD flag bytes raises a clear ValueError, not numpy's
+    obscure TypeError from np.asarray(None)."""
+    with pytest.raises(ValueError, match="haplotype_pdbases is required"):
+        PDHaplotypeData(np.frombuffer(b"ACGT", np.uint8))
+
+
+def test_forced_pallas_mesh_misalignment_raises(monkeypatch):
+    """KernelLevel.PALLAS on a mesh whose lane count cannot fill
+    128 * mesh.size must raise (the raise-on-unsatisfiable forcing
+    contract), and the auto level must warn loudly instead of silently
+    running the ~50x-slower jnp scan (regression: both used to degrade
+    silently)."""
+    from gkl_tpu import api as api_mod
+    from gkl_tpu import parallel, utils
+
+    monkeypatch.setattr(utils, "is_tpu_available", lambda: True)
+    monkeypatch.setattr(api_mod, "_PALLAS_FALLOFF_SEEN", set())
+    rng = np.random.default_rng(1)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    # t chosen so the indexed-dedup fast path bails (2t > max(16, t//2))
+    # and the dense packed path reaches the mesh dispatch under test
+    t, hl_n, rl_n = 12, 16, 8
+    hap = bases[rng.integers(0, 4, (t, hl_n))]
+    pd = np.zeros((t, hl_n), np.uint8)
+    read = bases[rng.integers(0, 4, (t, rl_n))]
+    q = np.full((t, rl_n), 30, np.uint8)
+    hl = np.full(t, hl_n, np.int64)
+    rl = np.full(t, rl_n, np.int64)
+    mesh = parallel.data_parallel_mesh(2)
+
+    # explicit lane_multiple=128 defeats the ctor's mesh auto-alignment:
+    # 128 packed lanes cannot fill 128 * mesh.size = 256
+    forced = PDHMM(PDHMMNativeArguments(kernel_level=2), mesh=mesh,
+                   lane_multiple=128)
+    with pytest.raises(RuntimeError, match="do not fill"):
+        forced.compute_pdhmm(hap, pd, read, q, q, q, q, hl, rl, batch_size=t)
+
+    import io
+    import sys
+    err = io.StringIO()
+    monkeypatch.setattr(sys, "stderr", err)
+    auto = PDHMM(mesh=mesh, lane_multiple=128)
+    out = auto.compute_pdhmm(hap, pd, read, q, q, q, q, hl, rl, batch_size=t)
+    assert np.isfinite(out).all()
+    assert "fell off the Pallas fast path" in err.getvalue()
