@@ -34,8 +34,11 @@ MAXIMUM_SW_MATCH_VALUE = 64 * 1024
 DEVICE_MAX_LEN = 2048
 # device->host backtrack tensor budget per kernel call: lanes * N/2 * M_pad
 # bytes; groups exceeding it split into lane chunks, and buckets that blow
-# it even at the 128-lane minimum fall back to the threaded scalar path
+# it even at the minimum lane padding fall back to the threaded scalar path
 SW_BT_BUDGET = 1 << 30
+# host-memory budget for the threaded scalar pool: each worker holds one
+# n*m-byte backtrack vector, so concurrency clamps to BUDGET / max(n*m)
+SW_SCALAR_POOL_BUDGET = 2 << 30
 
 
 class OverhangStrategy(enum.IntEnum):
@@ -153,11 +156,17 @@ class SmithWaterman:
             return max(rlen, alen) <= DEVICE_MAX_LEN
         from .ops import sw_pallas
 
+        # evaluate the SAME segment-rounded N the dispatch groups by (a
+        # plain bucket_length here would under-estimate the dispatched
+        # backtrack tensor for relay-length references)
         N = batch_mod.bucket_length(rlen)
+        if N > sw_pallas.SW_RELAY_SEG:
+            seg = sw_pallas.SW_RELAY_SEG
+            N = ((rlen + seg - 1) // seg) * seg
         M = batch_mod.bucket_length(alen)
         return (
             sw_pallas.sw_pallas_fits(N, M)
-            and 128 * (N // 2) * sw_pallas._pad_m(M) <= SW_BT_BUDGET
+            and lm * (N // 2) * sw_pallas._pad_m(M) <= SW_BT_BUDGET
         )
 
     # ------------------------------------------------------------------
@@ -199,7 +208,8 @@ class SmithWaterman:
         device_idx = [
             k for k in range(len(refs)) if self._device_eligible(len(refs[k]), len(alts[k]))
         ]
-        scalar_idx = [k for k in range(len(refs)) if k not in set(device_idx)]
+        dev_set = set(device_idx)
+        scalar_idx = [k for k in range(len(refs)) if k not in dev_set]
 
         # group device pairs by shape bucket, then split groups whose
         # backtrack tensor would exceed the HBM budget into lane chunks.
@@ -223,9 +233,13 @@ class SmithWaterman:
             groups.setdefault(key, []).append(k)
 
         chunked: list[tuple[tuple[int, int], list[int]]] = []
+        lm = self._lane_multiple or batch_mod.default_lane_multiple()
         for (N, M), idxs in groups.items():
             per_lane = (N // 2) * sw_pallas._pad_m(M)
-            max_lanes = max(128, (SW_BT_BUDGET // max(1, per_lane)) // 128 * 128)
+            # budget in LANE-PADDING units: bucket_lanes re-pads each chunk
+            # up to lane_multiple, so chunking in 128-lane units would
+            # overrun SW_BT_BUDGET by up to lane_multiple/128 x
+            max_lanes = max(lm, (SW_BT_BUDGET // max(1, per_lane)) // lm * lm)
             for s0 in range(0, len(idxs), max_lanes):
                 chunked.append(((N, M), idxs[s0 : s0 + max_lanes]))
 
@@ -380,6 +394,13 @@ class SmithWaterman:
         from . import utils
 
         pool = self._threads or utils.default_host_threads()
+        # each worker holds an n*m-byte backtrack vector (sw_runtime.cc):
+        # clamp concurrency so peak host memory stays bounded (near the
+        # 32767^2 validation limit one vector is ~1 GiB; an unclamped
+        # 16-thread pool would allocate ~17 GiB at once)
+        max_pair_bytes = max(len(r) * len(a) for r, a in zip(refs, alts))
+        mem_cap = max(1, SW_SCALAR_POOL_BUDGET // max(1, max_pair_bytes))
+        pool = max(1, min(pool, mem_cap))
 
         n = len(refs)
         ref_buf = np.concatenate([np.ascontiguousarray(r) for r in refs])
@@ -410,10 +431,13 @@ class SmithWaterman:
             ctypes.c_int(min(n, pool)),
         )
         res = []
+        # string_at reads each lane's NUL-terminated CIGAR in place;
+        # cigars.raw inside the loop would copy the whole n*stride buffer
+        # once per pair (O(n^2 * stride) memcpy)
+        base = ctypes.addressof(cigars)
         for k in range(n):
-            raw = cigars.raw[k * stride : (k + 1) * stride]
-            res.append(SWAlignerResult(raw.split(b"\x00", 1)[0].decode("ascii"),
-                                       int(offsets[k])))
+            cig = ctypes.string_at(base + k * stride)
+            res.append(SWAlignerResult(cig.decode("ascii"), int(offsets[k])))
         return res
 
     def _align_scalar(self, ref, alt, p: SWParameters, strategy) -> SWAlignerResult:

@@ -258,37 +258,11 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
     CH = _pick_chunk(N, M, lane_block)
     grid = (P // lane_block, N // CH)
 
-    def lane_spec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(
-            (*dims, lane_block),
-            lambda i, j: tuple([jnp.int32(0)] * nd) + (i,),
-            memory_space=pltpu.VMEM,
-        )
-
-    def chunk_spec(*dims):
-        # leading dim indexed by the sequential reference-chunk axis
-        nd = len(dims) - 1
-        return pl.BlockSpec(
-            (*dims, lane_block),
-            lambda i, j: (j,) + tuple([jnp.int32(0)] * nd) + (i,),
-            memory_space=pltpu.VMEM,
-        )
-
-    in_specs = [
-        chunk_spec(CH),  # ref (streamed)
-        lane_spec(M),    # alt
-        lane_spec(1),    # reflen
-        lane_spec(1),    # altlen
-        lane_spec(1),    # wm
-        lane_spec(1),    # wx
-        lane_spec(1),    # wo
-        lane_spec(1),    # we
-    ]
+    in_specs = _sw_base_specs(CH, M, lane_block)
     out_specs = [
-        chunk_spec(CH // 2, M),  # bt (row-pair nibble-packed u8, streamed)
-        lane_spec(M),            # lastrow
-        chunk_spec(CH),          # lastcol (streamed)
+        _chunk_spec(lane_block, CH // 2, M),  # bt (row-pair nibbles, streamed)
+        _lane_spec(lane_block, M),            # lastrow
+        _chunk_spec(lane_block, CH),          # lastcol (streamed)
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((N // 2, M, P), jnp.uint8),
@@ -305,11 +279,7 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, lane_block), i32)] * 2
             + [pltpu.VMEM((M, lane_block), jnp.uint8)],
-            cost_estimate=pl.CostEstimate(
-                flops=int(30 * N * M) * P,
-                bytes_accessed=int(N * M) * P,
-                transcendentals=0,
-            ),
+            cost_estimate=_sw_cost(N, M, P),
             interpret=interpret,
         )(ref_i, alt_i, reflen2, altlen2, wm, wx, wo, we)
 
@@ -319,6 +289,42 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
 
 
 SW_RELAY_SEG = 2048
+
+
+
+def _lane_spec(lane_block, *dims):
+    """(dims..., lane_block) VMEM block replicated over the ref-chunk axis."""
+    nd = len(dims)
+    return pl.BlockSpec(
+        (*dims, lane_block),
+        lambda i, j: tuple([jnp.int32(0)] * nd) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _chunk_spec(lane_block, *dims):
+    """Leading dim indexed by the sequential reference-chunk grid axis."""
+    nd = len(dims) - 1
+    return pl.BlockSpec(
+        (*dims, lane_block),
+        lambda i, j: (j,) + tuple([jnp.int32(0)] * nd) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _sw_base_specs(CH, M, lane_block):
+    """The (ref, alt, reflen, altlen, wm, wx, wo, we) input-spec prefix
+    shared by the single-call and relay-segment drivers — ONE definition so
+    the two cannot diverge."""
+    ls = functools.partial(_lane_spec, lane_block)
+    cs = functools.partial(_chunk_spec, lane_block)
+    return [cs(CH), ls(M), ls(1), ls(1), ls(1), ls(1), ls(1), ls(1)]
+
+
+def _sw_cost(N, M, P):
+    return pl.CostEstimate(flops=int(30 * N * M) * P,
+                           bytes_accessed=int(N * M) * P,
+                           transcendentals=0)
 
 
 @functools.partial(
@@ -339,39 +345,19 @@ def _sw_relay_segment(ref_seg, alt, reflen, altlen, wm, wx, wo, we,
     CH = _pick_chunk(SEG, M, lane_block)
     grid = (P // lane_block, SEG // CH)
 
-    def lane_spec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(
-            (*dims, lane_block),
-            lambda i, j: tuple([jnp.int32(0)] * nd) + (i,),
-            memory_space=pltpu.VMEM,
-        )
-
-    def chunk_spec(*dims):
-        nd = len(dims) - 1
-        return pl.BlockSpec(
-            (*dims, lane_block),
-            lambda i, j: (j,) + tuple([jnp.int32(0)] * nd) + (i,),
-            memory_space=pltpu.VMEM,
-        )
-
-    in_specs = [
-        chunk_spec(CH),  # ref (streamed)
-        lane_spec(M),    # alt
-        lane_spec(1),    # reflen
-        lane_spec(1),    # altlen
-        lane_spec(1), lane_spec(1), lane_spec(1), lane_spec(1),  # wm wx wo we
-        lane_spec(M),    # h0
-        lane_spec(M),    # f0
-        lane_spec(M),    # lr0
-        lane_spec(1),    # rowbase (1, P) i32 broadcast
+    ls = functools.partial(_lane_spec, lane_block)
+    in_specs = _sw_base_specs(CH, M, lane_block) + [
+        ls(M),    # h0
+        ls(M),    # f0
+        ls(M),    # lr0
+        ls(1),    # rowbase (1, P) i32 broadcast
     ]
     out_specs = [
-        chunk_spec(CH // 2, M),  # bt
-        lane_spec(M),            # lastrow (carried)
-        chunk_spec(CH),          # lastcol
-        lane_spec(M),            # h out
-        lane_spec(M),            # f out
+        _chunk_spec(lane_block, CH // 2, M),  # bt
+        ls(M),                                # lastrow (carried)
+        _chunk_spec(lane_block, CH),          # lastcol
+        ls(M),                                # h out
+        ls(M),                                # f out
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((SEG // 2, M, P), jnp.uint8),
@@ -390,6 +376,7 @@ def _sw_relay_segment(ref_seg, alt, reflen, altlen, wm, wx, wo, we,
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, lane_block), i32)] * 2
             + [pltpu.VMEM((M, lane_block), jnp.uint8)],
+            cost_estimate=_sw_cost(SEG, M, P),
             interpret=interpret,
         )(ref_seg, alt, reflen, altlen, wm, wx, wo, we, h0, f0, lr0, rowbase)
     return jnp.transpose(bt, (2, 0, 1)), lastrow, jnp.transpose(lastcol, (1, 0)), h_out, f_out
