@@ -7,7 +7,9 @@ codec (``compression/bgzf.py``) and alignment records are decoded into numpy
 arrays ready for the batch planner — no JVM / htsjdk in the loop.
 
 Only the fields the kernels need are decoded (name, flag, seq, qual, cigar,
-position); tags are kept as raw bytes.
+position).  Readers invoked with ``keep_raw=True`` additionally retain each
+record's original bytes, so rewrite paths (``pipeline.bam_recompress``)
+preserve tags, mate info, and bin verbatim.
 """
 
 from __future__ import annotations
@@ -45,6 +47,11 @@ class BamRecord:
     cigar: list[tuple[int, str]]  # (length, op)
     seq: np.ndarray  # uint8 ASCII bases
     qual: np.ndarray  # uint8 phred (no +33 offset)
+    # full original record bytes (4-byte size prefix + block), kept only
+    # when the reader is asked to (keep_raw=True): preserves tags, mate
+    # info, bin — everything the decoded fields above do not carry — so
+    # rewrite paths (bam_recompress) are lossless
+    raw: bytes | None = None
 
     @property
     def is_unmapped(self) -> bool:
@@ -59,6 +66,8 @@ def parse_header(payload: bytes) -> tuple[BamHeader, int]:
     if payload[:4] != b"BAM\x01":
         raise ValueError("not a BAM payload (missing BAM\\1 magic)")
     l_text = struct.unpack_from("<i", payload, 4)[0]
+    if l_text < 0:
+        raise ValueError("corrupt BAM header (negative l_text)")
     text = payload[8 : 8 + l_text].rstrip(b"\x00").decode("utf-8", "replace")
     off = 8 + l_text
     (n_ref,) = struct.unpack_from("<i", payload, off)
@@ -98,7 +107,8 @@ def _native_bam():
     return lib
 
 
-def parse_records_native(payload: bytes, offset: int, limit: int | None = None):
+def parse_records_native(payload: bytes, offset: int, limit: int | None = None,
+                         keep_raw: bool = False):
     """Native two-pass record scan (C++): decodes fixed fields, unpacks
     sequences, and copies quals into flat buffers in one pass — the
     data-loader stage of the pipeline.  Returns a list of BamRecords whose
@@ -109,13 +119,15 @@ def parse_records_native(payload: bytes, offset: int, limit: int | None = None):
     lib = _native_bam()
     if lib is None:
         return None
+    if limit is not None and limit <= 0:
+        return []
     buf = np.frombuffer(payload, np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64 = ctypes.c_int64
     n_rec = i64()
     seq_bytes = i64()
     name_bytes = i64()
-    maxr = i64(limit or 0)
+    maxr = i64(limit if limit is not None else 0)  # <= 0 = unlimited (C side)
     rc = lib.gkl_bam_count(buf.ctypes.data_as(u8p), len(buf), offset, maxr,
                            ctypes.byref(n_rec), ctypes.byref(seq_bytes),
                            ctypes.byref(name_bytes))
@@ -156,19 +168,29 @@ def parse_records_native(payload: bytes, offset: int, limit: int | None = None):
             (c,) = u("<I", payload, co + 4 * ci)
             cigar.append((c >> 4, CIGAR_OPS[c & 0xF]))
         name = bytes(name_buf[name_off[k] : name_off[k] + name_len[k]]).decode("ascii")
+        raw = None
+        if keep_raw:
+            # record block spans [prefix, prefix + 4 + block_size); the
+            # cigar section sits at prefix + 4 + 32 + l_read_name
+            prefix = int(co) - 32 - (name_len[k] + 1) - 4
+            (bs,) = u("<i", payload, prefix)
+            raw = bytes(payload[prefix : prefix + 4 + bs])
         records.append(BamRecord(
             name, int(flag[k]), int(ref_id[k]), int(pos[k]), int(mapq[k]),
-            cigar, seq_buf[s0 : s0 + ls], qual_buf[s0 : s0 + ls],
+            cigar, seq_buf[s0 : s0 + ls], qual_buf[s0 : s0 + ls], raw,
         ))
     return records
 
 
-def parse_records(payload: bytes, offset: int, limit: int | None = None):
+def parse_records(payload: bytes, offset: int, limit: int | None = None,
+                  keep_raw: bool = False):
     """Yield BamRecords from a decompressed BAM payload."""
     n = len(payload)
     count = 0
     u = struct.unpack_from
     while offset + 4 <= n:
+        if limit is not None and count >= limit:
+            return
         (block_size,) = u("<i", payload, offset)
         start = offset + 4
         if block_size < 32:  # minimum fixed record size; also guards against
@@ -202,13 +224,13 @@ def parse_records(payload: bytes, offset: int, limit: int | None = None):
         seq = SEQ_NIBBLE[nibbles[:l_seq]]
         p += n_packed
         qual = np.frombuffer(payload, np.uint8, l_seq, p).copy()
-        yield BamRecord(name, flag, ref_id, pos, mapq, cigar, seq, qual)
+        raw = bytes(payload[start - 4 : offset]) if keep_raw else None
+        yield BamRecord(name, flag, ref_id, pos, mapq, cigar, seq, qual, raw)
         count += 1
-        if limit is not None and count >= limit:
-            return
 
 
-def read_bam(path: str, limit: int | None = None, threads: int | None = None):
+def read_bam(path: str, limit: int | None = None, threads: int | None = None,
+             keep_raw: bool = False):
     """Read a BAM file: (header, list of records).
 
     BGZF inflation runs on the parallel native codec.
@@ -217,9 +239,10 @@ def read_bam(path: str, limit: int | None = None, threads: int | None = None):
         data = fh.read()
     payload = bgzf.decompress(data, threads=threads)
     header, off = parse_header(payload)
-    records = parse_records_native(payload, off, limit=limit)
+    records = parse_records_native(payload, off, limit=limit, keep_raw=keep_raw)
     if records is None:  # native loader unavailable: pure-Python fallback
-        records = list(parse_records(payload, off, limit=limit))
+        records = list(parse_records(payload, off, limit=limit,
+                                     keep_raw=keep_raw))
     return header, records
 
 
@@ -233,7 +256,14 @@ _CIGAR_CODE = {op: i for i, op in enumerate(CIGAR_OPS)}
 
 
 def encode_record(rec: BamRecord) -> bytes:
-    """Serialize one alignment record to its BAM byte layout."""
+    """Serialize one alignment record to its BAM byte layout.
+
+    Records carrying their original bytes (``keep_raw=True`` readers) are
+    emitted VERBATIM — tags, mate info, and bin survive rewrites; records
+    synthesized in Python encode from the decoded fields (no tags, mate
+    fields unset)."""
+    if rec.raw is not None:
+        return rec.raw
     name = rec.name.encode("ascii") + b"\x00"
     l_seq = len(rec.seq)
     n_cigar = len(rec.cigar)
@@ -335,6 +365,8 @@ def try_parse_header(payload) -> tuple[BamHeader, int] | None:
     if bytes(payload[:4]) != b"BAM\x01":
         raise ValueError("not a BAM payload (missing BAM\\1 magic)")
     (l_text,) = struct.unpack_from("<i", payload, 4)
+    if l_text < 0:
+        raise ValueError("corrupt BAM header (negative l_text)")
     off = 8 + l_text
     if off + 4 > n:
         return None
@@ -351,7 +383,9 @@ def try_parse_header(payload) -> tuple[BamHeader, int] | None:
         probe += 4 + l_name + 4
     if probe > n:
         return None
-    return parse_header(bytes(payload))
+    # reparse only the header prefix — bytes(payload) would copy the whole
+    # rolling decode buffer just to read its first `probe` bytes
+    return parse_header(bytes(memoryview(payload)[:probe]))
 
 
 def complete_records_end(buf, start: int) -> int:
@@ -369,7 +403,8 @@ def complete_records_end(buf, start: int) -> int:
 
 
 def read_bam_streaming(path: str, limit: int | None = None,
-                       threads: int | None = None, read_size: int = 4 << 20):
+                       threads: int | None = None, read_size: int = 4 << 20,
+                       keep_raw: bool = False):
     """Streaming form of :func:`read_bam`: returns (header, record iterator)
     with host memory bounded by ``read_size`` of compressed input plus one
     decode window — BGZF members inflate incrementally on the parallel
@@ -397,9 +432,12 @@ def read_bam_streaming(path: str, limit: int | None = None,
             end = complete_records_end(buf, off)
             if end > off:
                 want = None if limit is None else limit - count
-                recs = parse_records_native(bytes(buf[off:end]), 0, limit=want)
+                window = bytes(memoryview(buf)[off:end])  # ONE copy
+                recs = parse_records_native(window, 0, limit=want,
+                                            keep_raw=keep_raw)
                 if recs is None:
-                    recs = list(parse_records(bytes(buf[off:end]), 0, limit=want))
+                    recs = list(parse_records(window, 0, limit=want,
+                                              keep_raw=keep_raw))
                 count += len(recs)
                 del buf[:end]
                 off = 0

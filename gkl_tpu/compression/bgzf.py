@@ -19,31 +19,17 @@ MAX_BLOCK_DATA = 65280  # uncompressed payload cap per BGZF block (htsjdk)
 # the canonical 28-byte BGZF EOF marker block
 EOF_BLOCK = bytes.fromhex("1f8b08040000000000ff0600424302001b0003000000000000000000")
 
-_HEADER = struct.Struct("<4BI2B2H")  # magic(4) mtime xfl os xlen
-
-
 def split_blocks(data: bytes) -> list[bytes]:
-    """Split a BGZF byte stream into raw gzip member byte strings."""
-    blocks = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if data[pos : pos + 2] != b"\x1f\x8b":
-            raise ValueError(f"not a BGZF stream at offset {pos}")
-        xlen = struct.unpack_from("<H", data, pos + 10)[0]
-        extra = data[pos + 12 : pos + 12 + xlen]
-        bsize = None
-        e = 0
-        while e + 4 <= len(extra):
-            si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from("<H", extra, e + 2)[0]
-            if si1 == 0x42 and si2 == 0x43 and slen == 2:
-                bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
-                break
-            e += 4 + slen
-        if bsize is None:
-            raise ValueError(f"gzip member without BC subfield at offset {pos}")
-        blocks.append(data[pos : pos + bsize])
-        pos += bsize
+    """Split a BGZF byte stream into raw gzip member byte strings.
+
+    One BC-subfield scanner serves both this and the streaming form: a
+    stream the tolerant scanner cannot fully consume is truncated, reported
+    as the module's usual ValueError (not a struct.error escaping from a
+    short unpack)."""
+    blocks, consumed = split_blocks_partial(data)
+    if consumed != len(data):
+        raise ValueError(
+            f"truncated BGZF stream: member at offset {consumed} is incomplete")
     return blocks
 
 
@@ -105,8 +91,13 @@ def _inflate_verify_join(cdatas, metas, threads):
     return buf
 
 
-def decompress(data: bytes, threads: int | None = None) -> bytes:
-    """Decompress a whole BGZF stream (parallel across blocks)."""
+def decompress(data: bytes, threads: int | None = None) -> bytes | bytearray:
+    """Decompress a whole BGZF stream (parallel across blocks).
+
+    Returns a bytes-like: a bytearray on the native fast path (assembled
+    once from the strided decode buffer — converting to bytes would add a
+    full-payload copy), bytes on the fallback path.  Call ``bytes()`` on
+    the result if immutability is required."""
     blocks = split_blocks(data)
     metas = []
     cdatas = []

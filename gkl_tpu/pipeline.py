@@ -16,7 +16,7 @@ feeds read×haplotype batches through JNI, SURVEY.md §3.1):
 Chunked and genuinely overlapped: a producer thread decodes/filters BGZF
 records (native codec, GIL released) while the main thread packs and
 dispatches; device batches are dispatched asynchronously
-(``PairHMM.compute_likelihoods_async``) and resolved one chunk behind, so
+(``PairHMM.compute_likelihoods_async``) and resolved two chunks behind, so
 chunk N's kernels run while chunk N+1 decodes and packs.  Host memory
 stays bounded by ``prefetch`` chunks.  Stage times land in
 ``profiling.METRICS`` (pipeline_wait / pipeline_dispatch /
@@ -98,8 +98,9 @@ def pairhmm_stream(
 
     Three overlapped stages: a producer thread decodes/filters records
     (bounded ``prefetch``-chunk queue), the main thread packs and
-    async-dispatches each chunk, and results resolve one chunk behind the
-    dispatch so the device is never idle waiting on host work.
+    async-dispatches each chunk, and results resolve TWO chunks behind
+    the dispatch (chunk N dispatches while N-1 computes and N-2 reads
+    back) so the device is never idle waiting on host work.
     """
     hmm = hmm or PairHMM(PairHMMNativeArguments())
     haplotypes = list(haplotypes)
@@ -129,15 +130,17 @@ def pairhmm_stream(
                 bam_path, limit=limit, threads=threads)
             batch: list[bam_mod.BamRecord] = []
             for rec in record_iter:
-                if not include_filtered:
-                    if rec.flag & (
-                        bam_mod.FLAG_UNMAPPED
-                        | bam_mod.FLAG_SECONDARY
-                        | bam_mod.FLAG_SUPPLEMENTARY
-                    ):
-                        continue
-                    if len(rec.seq) == 0:
-                        continue
+                if not include_filtered and rec.flag & (
+                    bam_mod.FLAG_UNMAPPED
+                    | bam_mod.FLAG_SECONDARY
+                    | bam_mod.FLAG_SUPPLEMENTARY
+                ):
+                    continue
+                if len(rec.seq) == 0:
+                    # '*'-sequence records can never go through PairHMM
+                    # (ReadData rejects empty bases) — skipped even under
+                    # include_filtered
+                    continue
                 batch.append(rec)
                 if len(batch) >= chunk_reads:
                     if not _put(("chunk", batch)):
@@ -244,17 +247,19 @@ def bam_recompress(src_path: str, dst_path: str, *, level: int = 6,
                    window_blocks: int = 64) -> int:
     """Stream a BAM through decode → re-encode → parallel BGZF deflate.
 
-    Record-level round trip (parse + re-serialise, not a byte copy) in
-    bounded memory: the read side inflates incrementally
-    (``read_bam_streaming``) while the write side batches encoded records
-    into maximal BGZF blocks for the native deflate pool
+    Record-level round trip in bounded memory: the read side inflates
+    incrementally (``read_bam_streaming``) while the write side batches
+    encoded records into maximal BGZF blocks for the native deflate pool
     (``write_bam_streaming``) — the DeflaterIntegrationTest loop
     (write the BAM through the accelerated deflater at a chosen level,
-    then assert record equality on re-read) as a pipeline stage.  Returns
-    the record count.
+    then assert record equality on re-read) as a pipeline stage.  Records
+    are read with ``keep_raw=True`` and re-emitted byte-verbatim, so tags,
+    mate info, and bin all survive the recompress.  Returns the record
+    count.
     """
     header, records = bam_mod.read_bam_streaming(src_path, limit=limit,
-                                                 threads=threads)
+                                                 threads=threads,
+                                                 keep_raw=True)
     return bam_mod.write_bam_streaming(dst_path, header, records,
                                        level=level, threads=threads,
                                        window_blocks=window_blocks)

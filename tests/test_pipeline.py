@@ -8,6 +8,7 @@ import pytest
 from gkl_tpu import bam as bam_mod
 from gkl_tpu import pipeline
 from gkl_tpu.api import HaplotypeData, PairHMM, ReadData
+from gkl_tpu.compression import bgzf as bgzf_mod
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 BAM = os.path.join(DATA_DIR, "HiSeq.1mb.1RG.2k_lines.bam")
@@ -239,6 +240,18 @@ def test_streaming_writer_recompress_roundtrip(tmp_path):
         assert sizes[-1] == 0  # EOF marker
         assert all(s == bgzf.MAX_BLOCK_DATA for s in sizes[:-2]), sizes[:8]
 
+        # LOSSLESS: the record byte stream survives verbatim — tags, mate
+        # info (next_refID/next_pos/tlen), and bin are preserved, not just
+        # the decoded fields above (regression: encode_record used to
+        # re-serialize from decoded fields, silently dropping all of them)
+        with open(BAM, "rb") as fh:
+            src_payload = bytes(bgzf.decompress(fh.read()))
+        with open(out, "rb") as fh:
+            dst_payload = bytes(bgzf.decompress(fh.read()))
+        _, src_off = bam_mod.parse_header(src_payload)
+        _, dst_off = bam_mod.parse_header(dst_payload)
+        assert src_payload[src_off:] == dst_payload[dst_off:]
+
 
 def test_reads_from_records_share_const_planes():
     """The pipeline's ReadData construction must keep GOP/GCP planes
@@ -284,3 +297,45 @@ def test_stream_abandoned_producer_terminates():
             break
         time.sleep(0.05)
     assert not leaked, f"producer thread leaked: {leaked}"
+
+
+def test_read_bam_limit_semantics():
+    """limit=0 returns zero records on every reader (regression: the native
+    scanner treated <= 0 as unlimited, the Python fallback returned one),
+    and limit=N returns exactly N on all three paths."""
+    h0, r0 = bam_mod.read_bam(BAM, limit=0)
+    assert r0 == []
+    _, it0 = bam_mod.read_bam_streaming(BAM, limit=0)
+    assert list(it0) == []
+    with open(BAM, "rb") as fh:
+        payload = bytes(bgzf_mod.decompress(fh.read()))
+    _, off = bam_mod.parse_header(payload)
+    assert list(bam_mod.parse_records(payload, off, limit=0)) == []
+
+    _, r3 = bam_mod.read_bam(BAM, limit=3)
+    _, it3 = bam_mod.read_bam_streaming(BAM, limit=3)
+    py3 = list(bam_mod.parse_records(payload, off, limit=3))
+    assert len(r3) == len(list(it3)) == len(py3) == 3
+    assert [r.name for r in r3] == [r.name for r in py3]
+
+
+def test_split_blocks_truncated_raises_valueerror():
+    """A stream cut mid-member reports the module's ValueError contract,
+    not a struct.error escaping from a short unpack."""
+    import pytest
+
+    with open(BAM, "rb") as fh:
+        data = fh.read()
+    for cut in (5, 11, 20, len(data) - 7):
+        with pytest.raises(ValueError):
+            bgzf_mod.split_blocks(data[:cut])
+
+
+def test_parse_header_rejects_negative_l_text():
+    import pytest
+
+    bad = b"BAM\x01" + (-5).to_bytes(4, "little", signed=True) + b"\x00" * 64
+    with pytest.raises(ValueError, match="l_text"):
+        bam_mod.parse_header(bad)
+    with pytest.raises(ValueError, match="l_text"):
+        bam_mod.try_parse_header(bytearray(bad))
