@@ -129,8 +129,17 @@ int build_table(const uint8_t* lens, int nsym, int root, Entry* table,
   }
   int root_size = 1 << root;
   bool complete = (left == 0);
-  if (!complete)
+  if (!complete) {
+    // zlib's acceptance set (inftrees.c): an incomplete code is an error
+    // unless it has exactly ONE 1-bit symbol — and never for the
+    // code-lengths code.  Matching zlib exactly keeps "fast accepts what
+    // zlib rejects" impossible at header level (the invariant the
+    // mutation fuzz pins); decode-time kInvalid covers the allowed case.
+    int max = 15;
+    while (max > 0 && count[max] == 0) --max;
+    if (kind == kKindCl || max != 1) return -1;
     std::memset(table, 0, sizeof(Entry) * (size_t)root_size);
+  }
 
   // per-root-slot max length for sub-table sizing
   uint8_t slot_max[1 << kMaxRoot];
@@ -177,10 +186,13 @@ int build_table(const uint8_t* lens, int nsym, int root, Entry* table,
       if (s < 256) e = make_entry(l, 0, 1, (unsigned)s);
       else if (s == 256) e = make_entry(l, 2, 0, 0);
       else if (s <= 285) e = make_entry(l, 1, kLenExtra[s - 257], kLenBase[s - 257]);
-      else continue;  // 286/287: reserved, never valid to decode
+      // 286/287 reserved: WRITE an invalid entry (zlib's op-64 marker) so
+      // a complete code — the STATIC table counts them — leaves no
+      // uninitialized slots; referencing one errors at decode time
+      else e = kInvalid;
     } else {
       if (s < 30) e = make_entry(l, 1, kDistExtra[s], kDistBase[s]);
-      else continue;  // 30/31 reserved
+      else e = kInvalid;  // 30/31 reserved: as above (static dist table)
     }
     if (l <= root) {
       int step = 1 << l;

@@ -354,6 +354,27 @@ def test_fast_inflate_no_overread_at_page_boundary():
             trial, cut, r)
 
 
+class _BitWriter:
+    """LSB-first DEFLATE bit emitter for hand-crafted streams."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, nbits):  # LSB-first, per the DEFLATE spec
+        for k in range(nbits):
+            self.bits.append((value >> k) & 1)
+
+    def put_code(self, code, nbits):  # Huffman codes go MSB-first
+        for k in reversed(range(nbits)):
+            self.bits.append((code >> k) & 1)
+
+    def bytes(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
 def test_fast_inflate_rejects_reserved_symbol_headers():
     """Dynamic headers declaring reserved symbols (HLIT > 286 / HDIST > 30,
     RFC 1951 3.2.7) must be rejected like zlib ("too many length or distance
@@ -373,23 +394,7 @@ def test_fast_inflate_rejects_reserved_symbol_headers():
     fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
                    ctypes.c_int]
 
-    class BitWriter:
-        def __init__(self):
-            self.bits = []
-
-        def put(self, value, nbits):  # LSB-first, per the DEFLATE spec
-            for k in range(nbits):
-                self.bits.append((value >> k) & 1)
-
-        def put_code(self, code, nbits):  # Huffman codes go MSB-first
-            for k in reversed(range(nbits)):
-                self.bits.append((code >> k) & 1)
-
-        def bytes(self):
-            out = bytearray((len(self.bits) + 7) // 8)
-            for i, b in enumerate(self.bits):
-                out[i >> 3] |= b << (i & 7)
-            return bytes(out)
+    BitWriter = _BitWriter
 
     def craft(hlit_field, hdist_field):
         w = BitWriter()
@@ -432,6 +437,107 @@ def test_fast_inflate_rejects_reserved_symbol_headers():
     legal = craft(29, 29)
     assert fn(legal, len(legal), out, len(out)) == 0
     assert zlib.decompressobj(-15).decompress(legal) == b""
+
+
+def test_fast_inflate_zlib_header_strictness():
+    """The fast decoder's acceptance set must never EXCEED zlib's
+    (do_inflate treats r >= 0 as final; the generic Inflater path has no
+    CRC behind it).  Regressions found by scripts/fuzz_codec.py:
+
+    * INCOMPLETE Huffman codes: zlib (inftrees.c) errors at header-build
+      time unless the code has exactly one 1-bit symbol; the fast decoder
+      used to build the partial table and decode merrily until (unless!)
+      the stream referenced a missing code — accepting mutants zlib
+      rejects ("invalid literal/lengths set").
+    * STATIC blocks referencing reserved symbols (litlen 286/287, dist
+      30/31): the static tables count them for completeness, and the
+      builder used to SKIP their slots, leaving uninitialized entries
+      reachable from the decode loop (the dynamic-header analogue was
+      fixed in round 3; the static path needs written-invalid markers)."""
+    import ctypes
+
+    from gkl_tpu import native_lib
+
+    lib = native_lib.load("gkl_codec")
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    fn = lib.gkl_fast_inflate
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                   ctypes.c_int]
+    out = ctypes.create_string_buffer(1 << 12)
+
+    def both_reject(stream, why):
+        assert fn(stream, len(stream), out, len(out)) == -1, why
+        with pytest.raises(zlib.error):
+            d = zlib.decompressobj(-15)
+            d.decompress(stream)
+            if not d.eof:
+                raise zlib.error("truncated")  # pragma: no cover
+
+    perm = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+            11, 4, 12, 3, 13, 2, 14, 1, 15]
+    cl_code = {0: 0b00, 1: 0b01, 2: 0b10, 3: 0b11}
+
+    def craft_dynamic(lit_lens, dist_lens, tail_codes=()):
+        """Dynamic block: CL code {0,1,2,3} all len 2; explicit per-symbol
+        litlen/dist lengths (0 elsewhere); then ``tail_codes`` emitted."""
+        w = _BitWriter()
+        w.put(1, 1)
+        w.put(2, 2)
+        nlit = max(list(lit_lens) + [256]) + 1
+        ndist = max(list(dist_lens) + [0]) + 1
+        w.put(nlit - 257, 5)
+        w.put(ndist - 1, 5)
+        w.put(19 - 4, 4)
+        for s in perm:
+            w.put(2 if s in (0, 1, 2, 3) else 0, 3)
+        for s in range(nlit):
+            w.put_code(cl_code[lit_lens.get(s, 0)], 2)
+        for s in range(ndist):
+            w.put_code(cl_code[dist_lens.get(s, 0)], 2)
+        for code, nbits in tail_codes:
+            w.put_code(code, nbits)
+        return w.bytes()
+
+    # incomplete litlen (two len-2 codes: Kraft 1/2 < 1, max=2): zlib
+    # rejects at header; stream would otherwise decode cleanly to empty
+    # (EOB = canonical code 01 for sym 256)
+    both_reject(craft_dynamic({0: 2, 256: 2}, {0: 1}, [(0b01, 2)]),
+                "incomplete litlen accepted")
+    # incomplete dist set (one len-2 code over 2 declared symbols)
+    both_reject(craft_dynamic({0: 1, 256: 1}, {0: 2, 1: 0}, [(0b1, 1)]),
+                "incomplete dist accepted")
+    # the ALLOWED incomplete shape: a single 1-bit dist code (real encoders
+    # emit this); both decoders accept, empty payload
+    ok = craft_dynamic({0: 1, 256: 1}, {0: 1}, [(0b1, 1)])
+    assert fn(ok, len(ok), out, len(out)) == 0
+    assert zlib.decompressobj(-15).decompress(ok) == b""
+
+    def craft_static(codes):
+        w = _BitWriter()
+        w.put(1, 1)
+        w.put(1, 2)  # BTYPE = static
+        for code, nbits in codes:
+            w.put_code(code, nbits)
+        return w.bytes()
+
+    static_lit = lambda s: (  # noqa: E731 - fixed litlen code (RFC 3.2.6)
+        (0b00110000 + s, 8) if s < 144 else
+        (0b110010000 + s - 144, 9) if s < 256 else
+        (s - 256, 7) if s < 280 else
+        (0b11000000 + s - 280, 8))
+    # reserved litlen 286 / 287 in a static block
+    both_reject(craft_static([static_lit(286)]), "static litlen 286")
+    both_reject(craft_static([static_lit(287)]), "static litlen 287")
+    # reserved dist 30/31 after a real literal + len-3 match
+    for dcode in (30, 31):
+        both_reject(craft_static([static_lit(65), static_lit(257),
+                                  (dcode, 5)]), f"static dist {dcode}")
+    # sanity: literal + EOB static block decodes on both
+    good = craft_static([static_lit(65), static_lit(256)])
+    assert fn(good, len(good), out, len(out)) == 1 and out.raw[:1] == b"A"
+    assert zlib.decompressobj(-15).decompress(good) == b"A"
 
 
 def test_fast_inflate_never_writes_past_out_cap():
