@@ -115,7 +115,10 @@ def _suite_extras(quick: bool) -> dict:
         ("pdhmm", lambda: suite.bench_pdhmm(on_tpu, quick)),
         ("sw", lambda: suite.bench_sw(on_tpu, quick)),
         ("pairhmm_sharded", lambda: suite.bench_pairhmm_sharded(on_tpu, quick)),
-        ("codec", lambda: suite.bench_codec(quick)),
+        # codec is host-native C++ — its numbers are valid (and cheap) on any
+        # backend, so never degrade its corpus/reps to quick mode: on a CPU
+        # fallback run these are the round's only full-fidelity perf evidence
+        ("codec", lambda: suite.bench_codec(False)),
         ("bam", lambda: suite.bench_bam_pipeline(quick)),
     ):
         suite.RESULTS.clear()

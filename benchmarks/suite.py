@@ -332,7 +332,7 @@ def bench_codec(quick):
               zlib_mb_per_sec=n / dzd / 1e6,
               zlib_ratio=sum(map(len, zblocks)) / n,
               vs_zlib_per_core=dzd / (dt * cores))
-        dt = dta = dz = 9e9
+        dt = dta = dz = dtz = dzz = 9e9
         # the bench hosts' clocks wander ~2x across seconds; the inflate
         # legs are cheap (~10 ms each), so take best-of over many
         # interleaved reps to sample all three variants in the same windows
@@ -358,10 +358,27 @@ def bench_codec(quick):
             for b in compressed:
                 zlib.decompressobj(-zlib.MAX_WBITS).decompress(b)
             dz = min(dz, time.perf_counter() - t0)
+            # EXTERNALLY-produced corpus: the same data as stock zlib
+            # emitted it (zblocks, from the deflate stanza above).  This is
+            # the production inflate scenario — the reference's inflater
+            # decodes BAMs written by other tools (IntelInflater.java) — so
+            # its per-core ratio rides along as a separate metric
+            t0 = time.perf_counter()
+            res = comp.inflate_blocks_packed(zblocks)
+            dtz = min(dtz, time.perf_counter() - t0)
+            if res is not None:
+                comp.release_blocks_buffer(res[0])
+            t0 = time.perf_counter()
+            for b in zblocks:
+                zlib.decompressobj(-zlib.MAX_WBITS).decompress(b)
+            dzz = min(dzz, time.perf_counter() - t0)
         _emit(f"inflate_l{level}_mb_per_sec", n / dt / 1e6, "MB/s",
               cores=cores, zlib_mb_per_sec=n / dz / 1e6,
               vs_zlib_per_core=dz / (dt * cores),
               assembled_mb_per_sec=n / dta / 1e6)
+        _emit(f"inflate_zlib_l{level}_corpus_mb_per_sec", n / dtz / 1e6,
+              "MB/s", cores=cores, zlib_mb_per_sec=n / dzz / 1e6,
+              vs_zlib_per_core=dzz / (dtz * cores))
 
 
 def _replicated_bam(bam_path, copies):
