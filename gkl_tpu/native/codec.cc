@@ -57,14 +57,31 @@ int inflate_ways() {
 
 int do_deflate(const uint8_t* in, int in_len, uint8_t* out, int out_cap,
                int level, int nowrap) {
-  // Levels 1-2 default to the one-shot dynamic-Huffman fast encoder
-  // (deflate_fast.cc) exactly where the reference routes to ISA-L
-  // (IntelDeflater.cc:184-275: raw streams only); GKL_TPU_FAST_DEFLATE=0
-  // restores zlib for them.
-  if (nowrap && (level == 1 || level == 2) && in != nullptr &&
-      fast_deflate_enabled()) {
-    int r = gkl_fast_deflate_dyn(in, in_len, out, out_cap, level);
-    if (r >= 0) return r;
+  // Levels 1-9 default to the one-shot fast encoder (deflate_fast.cc):
+  // greedy for 1-2 where the reference routes to ISA-L
+  // (IntelDeflater.cc:184-275), lazy hash-chain for 3-9 where it routes to
+  // its patched zlib (IntelDeflater.cc:276-361).  Wrapped (zlib-header)
+  // streams are the raw stream plus the 2-byte header and big-endian
+  // adler32 trailer (RFC 1950).  GKL_TPU_FAST_DEFLATE=0 restores zlib.
+  if (level >= 1 && level <= 9 && in != nullptr && fast_deflate_enabled()) {
+    if (nowrap) {
+      int r = gkl_fast_deflate_dyn(in, in_len, out, out_cap, level);
+      if (r >= 0) return r;
+    } else if (out_cap >= 6) {
+      int r = gkl_fast_deflate_dyn(in, in_len, out + 2, out_cap - 6, level);
+      if (r >= 0) {
+        out[0] = 0x78;                         // CMF: deflate, 32 KB window
+        out[1] = level >= 7 ? 0xDA : 0x9C;     // FLG: FCHECK valid for both
+        uint32_t ad = (uint32_t)adler32(adler32(0L, nullptr, 0), in,
+                                        (uInt)in_len);
+        uint8_t* t = out + 2 + r;
+        t[0] = (uint8_t)(ad >> 24);
+        t[1] = (uint8_t)(ad >> 16);
+        t[2] = (uint8_t)(ad >> 8);
+        t[3] = (uint8_t)ad;
+        return r + 6;
+      }
+    }
     // fall through to zlib when the stream would not fit out_cap
   }
   z_stream zs;

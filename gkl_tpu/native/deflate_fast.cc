@@ -1,18 +1,33 @@
-// igzip-class one-shot DEFLATE encoder for levels 1-2.
+// One-shot DEFLATE encoder: igzip-class greedy levels 1-2, plus a lazy
+// hash-chain engine for levels 3-9.
 //
 // The reference routes levels 1-2 to ISA-L's isal_deflate_stateless
-// (compression/IntelDeflater.cc:184-275): a greedy hash-match LZ77 pass plus
-// a per-block dynamic Huffman code — much faster than zlib at a ratio close
-// to zlib-1.  This is an original implementation of that architecture:
+// (compression/IntelDeflater.cc:184-275) and levels 3-9 to an Intel-patched
+// zlib (IntelDeflater.cc:276-361, otc_zlib/deflate_quick.c /
+// deflate_medium.c).  This file is an original implementation of both
+// strategies:
 //
-//   1. tokenize: greedy LZ77, 4-byte hash head table (level 2 additionally
-//      inserts every position inside matches for a denser dictionary);
+//   1. tokenize:
+//        levels 1-2 — greedy LZ77 over a packed two-slot 4-byte-hash bucket
+//        (level 2 additionally inserts every position inside matches);
+//        levels 3-9 — lazy matching over 6-byte-hash chains (a prev ring
+//        recovers older candidates) with zlib-style good/lazy/nice/chain
+//        tuning per level, plus the 4-byte bucket for short matches;
 //   2. histogram the literal/length and distance symbols;
 //   3. build length-limited canonical Huffman codes (15-bit cap via the
-//      standard bl_count overflow adjustment) and a 7-bit-capped code for
-//      the code-length alphabet;
-//   4. emit ONE block choosing the cheapest of {dynamic, fixed, stored}
+//      standard bl_count overflow adjustment);
+//   4. cost-aware refinement: re-price every match against the actual code
+//      lengths and DEMOTE matches that cost more bits than coding their
+//      bytes as literals (on low-entropy payloads such as 2-bit DNA a short
+//      match at a long distance is a net loss), then rebuild the code once;
+//   5. emit ONE block choosing the cheapest of {dynamic, fixed, stored}
 //      from exact bit counts.
+//
+// Match-finder state persists across calls per thread with a global offset
+// base instead of clearing ~640 KB of tables per block: stale entries decode
+// to out-of-range candidates and are rejected by the same bounds check that
+// enforces the 32 KB window, and any in-range alias is verified byte-for-
+// byte before use, so correctness never depends on table freshness.
 //
 // Output is standard RFC 1951 DEFLATE — byte identity with ISA-L/zlib is
 // not a contract; round-trip and cross-implementation compatibility are.
@@ -290,16 +305,71 @@ constexpr uint8_t kClOrder[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
                                   11, 4,  12, 3, 13, 2, 14, 1, 15};
 
 // ---------------------------------------------------------------------------
-// tokenizer: greedy hash-head LZ77
+// match finder
 // ---------------------------------------------------------------------------
 inline uint32_t read32(const uint8_t* p) {
   uint32_t v;
   std::memcpy(&v, p, 4);
   return v;
 }
+inline uint64_t read64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
 inline uint32_t hash4(uint32_t v) { return (v * 2654435761u) >> 17; }  // 15-bit
+inline uint32_t hash6(uint64_t v) {  // low 6 bytes -> 16-bit
+  return (uint32_t)(((v & 0xFFFFFFFFFFFFull) * 0x9E3779B185EBCA87ull) >> 48);
+}
 
 constexpr int kHashSize = 1 << 15;
+constexpr int kHash6Size = 1 << 16;
+constexpr int kRingSize = 1 << 15;  // one entry per window position
+constexpr int kWindow = 32768;
+
+// Persistent per-thread tables.  Positions are stored as 32-bit GLOBAL
+// offsets (base + local pos); `base` advances past each input so entries
+// from earlier calls decode to candidates outside [0, pos) and fail the
+// window/bounds check — no per-call clears.  Any in-window alias (a stale
+// slot that happens to decode into range) is harmless: every candidate is
+// verified byte-for-byte against the current buffer before use.
+struct MatchState {
+  std::vector<uint64_t> pair;    // hash4 -> two newest gpos (packed)
+  std::vector<uint32_t> head6;   // hash6 -> newest gpos
+  std::vector<uint32_t> ring;    // gpos & (kRingSize-1) -> previous in chain
+  uint64_t base = 1 << 16;
+  bool ready = false;
+
+  void prepare(int n) {
+    if (!ready) {
+      pair.assign(kHashSize, 0);
+      head6.assign(kHash6Size, 0);
+      ring.assign(kRingSize, 0);
+      ready = true;
+    }
+    if (base + (uint64_t)n + 1024 > 0xFFFFFFFFull) {
+      std::fill(pair.begin(), pair.end(), 0);
+      std::fill(head6.begin(), head6.end(), 0);
+      std::fill(ring.begin(), ring.end(), 0);
+      base = 1 << 16;
+    }
+  }
+};
+
+thread_local MatchState g_ms;
+
+// zlib-style per-level search tuning: reduce the chain budget once the
+// current match reaches `good`, stop lazy lookahead at `lazy`, stop the
+// chain walk at `nice`, cap the walk at `chain` probes.
+struct LevelCfg {
+  int16_t good, lazy, nice, chain;
+};
+constexpr LevelCfg kCfg[10] = {
+    {0, 0, 0, 0},  {0, 0, 0, 0},   {0, 0, 0, 0},   // 0-2: greedy path
+    {8, 0, 24, 8},      {8, 8, 32, 16},   {8, 16, 64, 32},     // 3, 4, 5
+    {16, 32, 128, 128}, {16, 64, 192, 256},                    // 6, 7
+    {32, 128, 258, 1024}, {32, 258, 258, 4096},                // 8, 9
+};
 
 }  // namespace
 
@@ -307,15 +377,20 @@ extern "C" {
 
 // One-shot raw-DEFLATE compress with per-block dynamic Huffman; returns
 // bytes written, or -1 when `cap` is too small (callers fall back to zlib).
+// Levels 1-2: greedy (ISA-L-class).  Levels 3-9: lazy hash-chain
+// (otc_zlib-class).  All levels get the cost-aware demotion pass.
 int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
                          int level) {
-  // two-slot bucket packed into ONE uint64 (newest in the low half, the
-  // candidate it displaced in the high half): a depth-2 chain recovering
-  // most of a full chain's ratio, at ONE cache access per probe instead of
-  // two separate 128 KB arrays
-  static thread_local std::vector<uint64_t> headpair;
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  MatchState& ms = g_ms;
+  ms.prepare(n);
+  const uint64_t base = ms.base;
+  uint64_t* const hp4 = ms.pair.data();
+  uint32_t* const hd6 = ms.head6.data();
+  uint32_t* const ring = ms.ring.data();
+
   static thread_local std::vector<uint32_t> tokens;
-  headpair.assign(kHashSize, ~0ull);
   if ((int)tokens.size() < n + 16) tokens.resize((size_t)n + 16);
   uint32_t* tp = tokens.data();  // cursor: no per-token capacity branch
 
@@ -327,88 +402,191 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
   std::memset(len_hist, 0, sizeof(len_hist));
 
   const SymTables& T = kSym;
-  const int limit4 = n - 4;
-  int pos = 0;
-  // miss-run skip acceleration (the igzip/LZ4 heuristic): in regions where
-  // matches keep missing (high-entropy quality bytes inside BAM records),
-  // probe the dictionary at a growing stride instead of every byte.  The
-  // skipped bytes are still emitted as literals; only their hash inserts
-  // are dropped, so output stays valid DEFLATE and the ratio cost is a
-  // slightly sparser dictionary at the tail of long literal runs.  Level 2
-  // keeps the dense every-byte probe.
-  int miss_run = 0;
-  const int accel_shift = level >= 2 ? 30 : 5;  // stride = 1 + run/32 (L1)
-  while (pos < n) {
-    int best_len = 0, best_dist = 0;
-    if (pos <= limit4) {
-      uint32_t v = read32(in + pos);
-      uint32_t h = hash4(v);
-      uint64_t pair = headpair[h];
-      int cand = (int32_t)(uint32_t)pair;
-      int cand2 = (int32_t)(pair >> 32);
-      headpair[h] = (pair << 32) | (uint32_t)pos;
-      const int maxl = n - pos < 258 ? n - pos : 258;
-      auto extend = [&](int c) {
-        int L = 4;
-        while (L + 8 <= maxl) {
-          uint64_t a, b;
-          std::memcpy(&a, in + c + L, 8);
-          std::memcpy(&b, in + pos + L, 8);
-          uint64_t x = a ^ b;
-          if (x) return L + (__builtin_ctzll(x) >> 3);
-          L += 8;
+  const int limit4 = n - 4;  // hash4 usable while pos <= limit4
+  const int limit8 = n - 8;  // hash6 usable while pos <= limit8 (8-byte load)
+
+  // full-prefix extension (hash6 candidates are unverified)
+  auto extend_from = [&](int c, int p, int start, int maxl) {
+    int L = start;
+    while (L + 8 <= maxl) {
+      uint64_t x = read64(in + c + L) ^ read64(in + p + L);
+      if (x) return L + (__builtin_ctzll(x) >> 3);
+      L += 8;
+    }
+    while (L < maxl && in[c + L] == in[p + L]) ++L;
+    return L;
+  };
+
+  // token: [31]=match, [30]=demoted (set by the refinement pass),
+  // [27:20]=len-3, [19:15]=dist bucket, [14:0]=dist-1
+  auto push_match = [&](int len, int dist) {
+    int dc = T.dist_bucket(dist);
+    *tp++ = (1u << 31) | ((uint32_t)(len - 3) << 20) | ((uint32_t)dc << 15) |
+            (uint32_t)(dist - 1);
+    len_hist[len]++;
+    dist_freq[dc]++;
+  };
+
+  if (level <= 2) {
+    // ---- greedy packed-pair tokenizer (levels 1-2) ----
+    int pos = 0;
+    // miss-run skip acceleration (the igzip/LZ4 heuristic): in regions
+    // where matches keep missing (high-entropy quality bytes inside BAM
+    // records), probe the dictionary at a growing stride instead of every
+    // byte.  Level 2 keeps the dense every-byte probe.
+    int miss_run = 0;
+    const int accel_shift = level >= 2 ? 30 : 5;  // stride = 1 + run/32 (L1)
+    while (pos < n) {
+      int best_len = 0, best_dist = 0;
+      if (pos <= limit4) {
+        uint32_t v = read32(in + pos);
+        uint32_t h = hash4(v);
+        uint64_t pr = hp4[h];
+        hp4[h] = (pr << 32) | (uint32_t)(base + pos);
+        const int maxl = n - pos < 258 ? n - pos : 258;
+        int64_t cand = (int64_t)(uint32_t)pr - (int64_t)base;
+        int64_t cand2 = (int64_t)(uint32_t)(pr >> 32) - (int64_t)base;
+        if (cand >= 0 && pos - cand <= kWindow && read32(in + cand) == v) {
+          best_len = extend_from((int)cand, pos, 4, maxl);
+          best_dist = pos - (int)cand;
         }
-        while (L < maxl && in[c + L] == in[pos + L]) ++L;
-        return L;
-      };
-      if (cand >= 0 && pos - cand <= 32768 && read32(in + cand) == v) {
-        best_len = extend(cand);
-        best_dist = pos - cand;
+        // only pay the second extend when it could beat the first: the
+        // byte at best_len must match (best_len < 4 reduces to read32)
+        if (cand2 >= 0 && pos - cand2 <= kWindow && best_len < maxl &&
+            read32(in + cand2) == v &&
+            in[cand2 + best_len] == in[pos + best_len]) {
+          int L2 = extend_from((int)cand2, pos, 4, maxl);
+          if (L2 > best_len) {
+            best_len = L2;
+            best_dist = pos - (int)cand2;
+          }
+        }
       }
-      // only pay the second extend when it could beat the first: the byte
-      // at best_len must match (best_len < 4 reduces to the read32 check)
-      if (cand2 >= 0 && pos - cand2 <= 32768 && best_len < maxl &&
-          read32(in + cand2) == v &&
-          in[cand2 + best_len] == in[pos + best_len]) {
-        int L2 = extend(cand2);
-        if (L2 > best_len) {
-          best_len = L2;
-          best_dist = pos - cand2;
+      if (best_len >= 4) {
+        push_match(best_len, best_dist);
+        if (level >= 2) {
+          // denser dictionary: insert every position inside the match
+          int stop = pos + best_len < limit4 + 1 ? pos + best_len : limit4 + 1;
+          for (int q = pos + 1; q < stop; ++q) {
+            uint32_t hq = hash4(read32(in + q));
+            hp4[hq] = (hp4[hq] << 32) | (uint32_t)(base + q);
+          }
         }
+        pos += best_len;
+        miss_run = 0;
+      } else {
+        int step = 1 + (miss_run >> accel_shift);
+        if (step > 16) step = 16;  // cap: re-sync quickly after entropy runs
+        if (step > n - pos) step = n - pos;
+        for (int k = 0; k < step; ++k) {
+          uint8_t c = in[pos + k];
+          *tp++ = c;
+          lit_freq[c]++;
+        }
+        pos += step;
+        miss_run += step;
       }
     }
-    if (best_len >= 4) {
-      // token: [31]=match, [27:20]=len-3, [19:15]=dist bucket (computed
-      // once here, reused at emit), [14:0]=dist-1
-      int dc = T.dist_bucket(best_dist);
-      *tp++ = (1u << 31) | ((uint32_t)(best_len - 3) << 20) |
-              ((uint32_t)dc << 15) | (uint32_t)(best_dist - 1);
-      len_hist[best_len]++;
-      dist_freq[dc]++;
-      if (level >= 2) {
-        // denser dictionary: insert every position inside the match
-        int stop = pos + best_len < limit4 + 1 ? pos + best_len : limit4 + 1;
-        for (int q = pos + 1; q < stop; ++q) {
-          uint32_t hq = hash4(read32(in + q));
-          headpair[hq] = (headpair[hq] << 32) | (uint32_t)q;
+  } else {
+    // ---- lazy hash-chain tokenizer (levels 3-9) ----
+    const LevelCfg cfg = kCfg[level];
+
+    auto insert_pos = [&](int q) {
+      uint32_t g = (uint32_t)(base + q);
+      if (q <= limit8) {
+        uint32_t h = hash6(read64(in + q));
+        ring[g & (kRingSize - 1)] = hd6[h];
+        hd6[h] = g;
+      }
+      if (q <= limit4) {
+        uint32_t h = hash4(read32(in + q));
+        hp4[h] = (hp4[h] << 32) | g;
+      }
+    };
+
+    // best match strictly longer than floor_len, or 0; sets out_dist
+    auto search = [&](int pos, int floor_len, int depth, int& out_dist) {
+      const int maxl = n - pos < 258 ? n - pos : 258;
+      if (pos > limit4 || floor_len >= maxl) return 0;
+      int best = floor_len;
+      int bdist = 0;
+      const uint32_t v = read32(in + pos);
+      const uint64_t pr = hp4[hash4(v)];
+      for (int slot = 0; slot < 2; ++slot) {
+        int64_t c =
+            (int64_t)(uint32_t)(slot == 0 ? pr : pr >> 32) - (int64_t)base;
+        if (c < 0 || pos - c > kWindow) continue;
+        if (in[c + best] != in[pos + best]) continue;
+        if (read32(in + c) != v) continue;
+        int L = extend_from((int)c, pos, 4, maxl);
+        if (L > best) {
+          best = L;
+          bdist = pos - (int)c;
+          if (best >= maxl) break;
         }
       }
-      pos += best_len;
-      miss_run = 0;
-    } else {
-      int step = 1 + (miss_run >> accel_shift);
-      if (step > 16) step = 16;  // cap: re-sync quickly after entropy runs
-      if (step > n - pos) step = n - pos;
-      for (int k = 0; k < step; ++k) {
-        uint8_t c = in[pos + k];
+      if (pos <= limit8 && best < maxl && best < cfg.nice) {
+        const uint64_t gmin =
+            base + (uint64_t)(pos > kWindow ? pos - kWindow : 0);
+        uint64_t cg = hd6[hash6(read64(in + pos))];
+        while (cg >= gmin && depth-- > 0) {
+          int c = (int)(cg - base);
+          if (c >= pos) {  // stale alias from an earlier buffer epoch
+            break;
+          }
+          if (in[c + best] == in[pos + best]) {
+            int L = extend_from(c, pos, 0, maxl);
+            if (L > best) {
+              best = L;
+              bdist = pos - c;
+              if (best >= cfg.nice || best >= maxl) break;
+            }
+          }
+          uint64_t nx = ring[cg & (kRingSize - 1)];
+          if (nx >= cg) break;  // ring slot reused by a newer position
+          cg = nx;
+        }
+      }
+      if (bdist == 0) return 0;
+      out_dist = bdist;
+      return best;
+    };
+
+    int pos = 0;
+    while (pos < n) {
+      int d1 = 0;
+      int l1 = search(pos, 3, cfg.chain, d1);
+      insert_pos(pos);
+      if (l1 == 0) {
+        uint8_t c = in[pos];
         *tp++ = c;
         lit_freq[c]++;
+        ++pos;
+        continue;
       }
-      pos += step;
-      miss_run += step;
+      // lazy lookahead: a strictly longer match one byte later wins; the
+      // current byte becomes a literal (deflate_medium's 1-ahead deferral)
+      while (l1 < cfg.lazy && pos + 1 < n) {
+        int depth = l1 >= cfg.good ? cfg.chain >> 2 : cfg.chain;
+        int d2 = 0;
+        int l2 = search(pos + 1, l1, depth, d2);
+        if (l2 == 0) break;
+        uint8_t c = in[pos];
+        *tp++ = c;
+        lit_freq[c]++;
+        ++pos;
+        insert_pos(pos);
+        l1 = l2;
+        d1 = d2;
+      }
+      push_match(l1, d1);
+      for (int q = pos + 1; q < pos + l1; ++q) insert_pos(q);
+      pos += l1;
     }
   }
-  const uint32_t* tokens_end = tp;
+  ms.base += (uint64_t)n + 8;  // age out this buffer's entries
+
+  uint32_t* tokens_end = tp;
   lit_freq[256]++;  // end of block
   long long len_extra_total = 0;  // identical cost under dynamic AND fixed
   for (int L = 3; L <= 258; ++L)
@@ -417,65 +595,168 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
       len_extra_total += (long long)len_hist[L] * T.len_extra_bits[L];
     }
 
-  // ---- dynamic code ----
+  // ---- dynamic code + exact bit costs (rebuilt after demotion) ----
   uint8_t dyn_lit_lens[288], dyn_dist_lens[30];
   uint16_t dyn_lit_codes[288], dyn_dist_codes[30];
-  build_lengths(lit_freq, 286, 15, dyn_lit_lens);
-  dyn_lit_lens[286] = dyn_lit_lens[287] = 0;
-  build_lengths(dist_freq, 30, 15, dyn_dist_lens);
-  bool any_dist = false;
-  for (int i = 0; i < 30; ++i) any_dist |= dyn_dist_lens[i] != 0;
-  if (!any_dist) dyn_dist_lens[0] = 1;  // RFC: single 1-bit (unused) code
-  build_codes(dyn_lit_lens, 288, dyn_lit_codes);
-  build_codes(dyn_dist_lens, 30, dyn_dist_codes);
-
-  int nlit = 286;
-  while (nlit > 257 && dyn_lit_lens[nlit - 1] == 0) --nlit;
-  int ndist = 30;
-  while (ndist > 1 && dyn_dist_lens[ndist - 1] == 0) --ndist;
-
-  uint8_t clseq[288 + 30];
-  std::memcpy(clseq, dyn_lit_lens, (size_t)nlit);
-  std::memcpy(clseq + nlit, dyn_dist_lens, (size_t)ndist);
+  int nlit = 257, ndist = 1, ncl = 4;
   std::vector<ClToken> cl;
   cl.reserve(64);
-  rle_code_lengths(clseq, nlit + ndist, cl);
-
-  uint32_t cl_freq[19];
-  std::memset(cl_freq, 0, sizeof(cl_freq));
-  for (const ClToken& t : cl) cl_freq[t.sym]++;
   uint8_t cl_lens[19];
   uint16_t cl_codes[19];
-  build_lengths(cl_freq, 19, 7, cl_lens);
-  build_codes(cl_lens, 19, cl_codes);
-  int ncl = 19;
-  while (ncl > 4 && cl_lens[kClOrder[ncl - 1]] == 0) --ncl;
-
-  // ---- exact bit costs ----
-  long long header_bits = 5 + 5 + 4 + 3LL * ncl;
-  for (const ClToken& t : cl) header_bits += cl_lens[t.sym] + t.extra_bits;
-
-  long long dyn_bits = header_bits;
-  long long fixed_bits = 0;
-  static const uint8_t kFixedLitLens[4] = {8, 9, 7, 8};  // 0-143,144-255,256-279,280-287
+  long long dyn_bits = 0, fixed_bits = 0;
   auto fixed_lit_len = [](int s) {
     return s < 144 ? 8 : s < 256 ? 9 : s < 280 ? 7 : 8;
   };
-  for (int s = 0; s < 286; ++s)
-    if (lit_freq[s]) {
-      dyn_bits += (long long)lit_freq[s] * dyn_lit_lens[s];
-      fixed_bits += (long long)lit_freq[s] * fixed_lit_len(s);
+
+  auto build_all = [&]() {
+    build_lengths(lit_freq, 286, 15, dyn_lit_lens);
+    dyn_lit_lens[286] = dyn_lit_lens[287] = 0;
+    build_lengths(dist_freq, 30, 15, dyn_dist_lens);
+    bool any_dist = false;
+    for (int i = 0; i < 30; ++i) any_dist |= dyn_dist_lens[i] != 0;
+    if (!any_dist) dyn_dist_lens[0] = 1;  // RFC: single 1-bit (unused) code
+    build_codes(dyn_lit_lens, 288, dyn_lit_codes);
+    build_codes(dyn_dist_lens, 30, dyn_dist_codes);
+
+    nlit = 286;
+    while (nlit > 257 && dyn_lit_lens[nlit - 1] == 0) --nlit;
+    ndist = 30;
+    while (ndist > 1 && dyn_dist_lens[ndist - 1] == 0) --ndist;
+
+    uint8_t clseq[288 + 30];
+    std::memcpy(clseq, dyn_lit_lens, (size_t)nlit);
+    std::memcpy(clseq + nlit, dyn_dist_lens, (size_t)ndist);
+    cl.clear();
+    rle_code_lengths(clseq, nlit + ndist, cl);
+
+    uint32_t cl_freq[19];
+    std::memset(cl_freq, 0, sizeof(cl_freq));
+    for (const ClToken& t : cl) cl_freq[t.sym]++;
+    build_lengths(cl_freq, 19, 7, cl_lens);
+    build_codes(cl_lens, 19, cl_codes);
+    ncl = 19;
+    while (ncl > 4 && cl_lens[kClOrder[ncl - 1]] == 0) --ncl;
+
+    long long header_bits = 5 + 5 + 4 + 3LL * ncl;
+    for (const ClToken& t : cl) header_bits += cl_lens[t.sym] + t.extra_bits;
+
+    dyn_bits = header_bits;
+    fixed_bits = 0;
+    for (int s = 0; s < 286; ++s)
+      if (lit_freq[s]) {
+        dyn_bits += (long long)lit_freq[s] * dyn_lit_lens[s];
+        fixed_bits += (long long)lit_freq[s] * fixed_lit_len(s);
+      }
+    for (int s = 0; s < 30; ++s)
+      if (dist_freq[s]) {
+        long long ex = (long long)dist_freq[s] * T.dist_extra_bits[s];
+        dyn_bits += (long long)dist_freq[s] * dyn_dist_lens[s] + ex;
+        fixed_bits += (long long)dist_freq[s] * 5 + ex;
+      }
+    // length extra bits are identical for both (accumulated at tokenize)
+    dyn_bits += len_extra_total;
+    fixed_bits += len_extra_total;
+  };
+  build_all();
+
+  // ---- cost-aware demotion: a match that codes to more bits than its
+  // bytes would as literals is a net loss (common on low-entropy payloads
+  // where literals cost ~2-3 bits); strip it and rebuild the code.
+  //
+  // Pricing literals with the CURRENT code is a trap: in a match-heavy
+  // stream literals are rare, so their codes are long and no match ever
+  // looks like a loser.  The first round therefore prices literals with a
+  // hypothetical code built from the RAW input byte histogram (the
+  // self-consistent cost in the demoted regime); a second round verifies
+  // against the actual rebuilt code (it can only demote more).  If the
+  // final exact cost did not improve, everything reverts — demotion never
+  // worsens a block. ----
+  auto demote_pass = [&](const uint8_t* lit_cost) {
+    bool changed = false;
+    int p2 = 0;
+    for (uint32_t* tk = tokens.data(); tk != tokens_end; ++tk) {
+      uint32_t tok = *tk;
+      if (!(tok >> 31)) {
+        ++p2;
+        continue;
+      }
+      int len = (int)((tok >> 20) & 0xFF) + 3;
+      if (tok & (1u << 30)) {
+        p2 += len;
+        continue;
+      }
+      int ls = T.len_sym[len];
+      int dc = (int)(tok >> 15) & 31;
+      int mbits = dyn_lit_lens[ls] + T.len_extra_bits[len] +
+                  dyn_dist_lens[dc] + T.dist_extra_bits[dc];
+      const uint8_t* p = in + p2;
+      int lbits = 0;
+      for (int k = 0; k < len; ++k) {
+        int c = lit_cost[p[k]];
+        lbits += c ? c : 14;  // unseen byte: pessimistic long code
+        if (lbits > mbits) break;
+      }
+      if (lbits <= mbits) {
+        *tk = tok | (1u << 30);
+        lit_freq[ls]--;
+        dist_freq[dc]--;
+        len_extra_total -= T.len_extra_bits[len];
+        for (int k = 0; k < len; ++k) lit_freq[p[k]]++;
+        changed = true;
+      }
+      p2 += len;
     }
-  for (int s = 0; s < 30; ++s)
-    if (dist_freq[s]) {
-      long long ex = (long long)dist_freq[s] * T.dist_extra_bits[s];
-      dyn_bits += (long long)dist_freq[s] * dyn_dist_lens[s] + ex;
-      fixed_bits += (long long)dist_freq[s] * 5 + ex;
+    return changed;
+  };
+  bool lit_only = false;  // emit straight from `in`, ignoring the parse
+  if (tokens_end != tokens.data()) {
+    uint32_t raw_freq[257];
+    std::memset(raw_freq, 0, sizeof(raw_freq));
+    for (int i = 0; i < n; ++i) raw_freq[in[i]]++;
+    raw_freq[256] = 1;
+    uint8_t est_lens[257];
+    build_lengths(raw_freq, 257, 15, est_lens);
+
+    if (level <= 2) {
+      // fast levels: all-or-nothing.  The exact body cost of a pure
+      // order-0 literal stream is one dot product; when it beats the LZ
+      // parse (it does on ~2-bit/byte payloads), drop the parse entirely
+      // and emit literals in a dedicated tight loop — no per-match walk.
+      long long lo_body = 0;
+      for (int c = 0; c < 257; ++c)
+        lo_body += (long long)raw_freq[c] * est_lens[c];
+      if (lo_body + 64 < std::min(dyn_bits, fixed_bits)) {
+        std::memcpy(lit_freq, raw_freq, 256 * sizeof(uint32_t));
+        lit_freq[256] = 1;
+        for (int s = 257; s < 286; ++s) lit_freq[s] = 0;
+        std::memset(dist_freq, 0, sizeof(dist_freq));
+        len_extra_total = 0;
+        lit_only = true;
+        build_all();
+      }
+    } else {
+      // thorough levels: per-match refinement with global revert
+      const long long bits_orig = std::min(dyn_bits, fixed_bits);
+      uint32_t save_lit[286], save_dist[30];
+      std::memcpy(save_lit, lit_freq, sizeof(save_lit));
+      std::memcpy(save_dist, dist_freq, sizeof(save_dist));
+      const long long save_let = len_extra_total;
+      if (demote_pass(est_lens)) {
+        build_all();
+        if (demote_pass(dyn_lit_lens)) build_all();
+        if (std::min(dyn_bits, fixed_bits) >= bits_orig) {
+          // no win: restore the original parse exactly
+          std::memcpy(lit_freq, save_lit, sizeof(save_lit));
+          std::memcpy(dist_freq, save_dist, sizeof(save_dist));
+          len_extra_total = save_let;
+          for (uint32_t* tk = tokens.data(); tk != tokens_end; ++tk)
+            *tk &= ~(1u << 30);  // literal tokens never carry bit 30
+          build_all();
+        }
+      }
     }
-  // length extra bits are identical for both (accumulated while tokenizing)
-  dyn_bits += len_extra_total;
-  fixed_bits += len_extra_total;
-  (void)kFixedLitLens;
+  }
+
   long long stored_bits = 8LL * (n + 5LL * (n ? (n + 65534) / 65535 : 1));
 
   BitWriter bw{out, cap};
@@ -548,27 +829,52 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
   uint32_t dist_emit[30];
   for (int dc = 0; dc < 30; ++dc)
     dist_emit[dc] = (uint32_t)dist_codes[dc] | ((uint32_t)dist_lens[dc] << 24);
+  if (lit_only) {
+    // pure literal stream: one load + one accumulate per input byte
+    for (int i = 0; i < n; ++i) {
+      if (bw.nbits > 48) bw.flush();
+      uint32_t e = lit_emit[in[i]];
+      bw.put_nf(e & 0xFFFF, (int)(e >> 16));
+      if (bw.overflow) return -1;
+    }
+    bw.flush();
+    bw.put(lit_codes[256], lit_lens[256]);  // EOB
+    return bw.finish();
+  }
+  int epos = 0;  // input cursor (demoted matches emit their bytes)
   for (const uint32_t* tk = tokens.data(); tk != tokens_end; ++tk) {
     uint32_t tok = *tk;
     if (tok >> 31) {
-      // max 15+5+15+13 = 48 bits per match token; a flush leaves < 8
-      // pending, so ONE flush up front keeps the accumulator <= 55 bits —
-      // the literal path's pre-put flush (<= 63 invariant) absorbs the
-      // carry-over, so no trailing flush per match
-      bw.flush();
-      uint32_t le = len_emit[((tok >> 20) & 0xFF) + 3];
-      bw.put_nf(le & 0xFFFFFF, (int)(le >> 24));
-      int d = (int)(tok & 0x7FFF) + 1;
-      int dc = (int)(tok >> 15) & 31;
-      uint32_t de = dist_emit[dc];
-      int db = (int)(de >> 24);
-      bw.put_nf((de & 0xFFFFFF) | ((uint32_t)(d - T.dist_base[dc]) << db),
-                db + T.dist_extra_bits[dc]);
+      int len = (int)((tok >> 20) & 0xFF) + 3;
+      if (tok & (1u << 30)) {
+        // demoted match: its bytes go out as literals
+        for (int k = 0; k < len; ++k) {
+          if (bw.nbits > 48) bw.flush();
+          uint32_t e = lit_emit[in[epos + k]];
+          bw.put_nf(e & 0xFFFF, (int)(e >> 16));
+        }
+      } else {
+        // max 15+5+15+13 = 48 bits per match token; a flush leaves < 8
+        // pending, so ONE flush up front keeps the accumulator <= 55 bits —
+        // the literal path's pre-put flush (<= 63 invariant) absorbs the
+        // carry-over, so no trailing flush per match
+        bw.flush();
+        uint32_t le = len_emit[len];
+        bw.put_nf(le & 0xFFFFFF, (int)(le >> 24));
+        int d = (int)(tok & 0x7FFF) + 1;
+        int dc = (int)(tok >> 15) & 31;
+        uint32_t de = dist_emit[dc];
+        int db = (int)(de >> 24);
+        bw.put_nf((de & 0xFFFFFF) | ((uint32_t)(d - T.dist_base[dc]) << db),
+                  db + T.dist_extra_bits[dc]);
+      }
+      epos += len;
     } else {
       // flush BEFORE accumulating: nbits <= 48 here keeps nbits + 15 < 64
       if (bw.nbits > 48) bw.flush();
-      uint32_t e = lit_emit[tok];
+      uint32_t e = lit_emit[tok & 0xFF];
       bw.put_nf(e & 0xFFFF, (int)(e >> 16));
+      ++epos;
     }
     if (bw.overflow) return -1;
   }

@@ -15,8 +15,9 @@ found a real cross-margin overflow class.  Invariants per iteration:
   regardless of its stride neighbors' fates (adjacent strides make any
   past-cap write visible as a neighbor mismatch); accepted mutants must
   byte-match the oracle.
-* encoder: our fast L1/L2 streams must round-trip through stock zlib
-  (encoder output is the decoder-independent contract).
+* encoder: our fast streams at every level 1-9 (raw AND zlib-wrapped) must
+  round-trip through stock zlib (encoder output is the decoder-independent
+  contract).
 
 Usage: python scripts/fuzz_codec.py [--seconds N] [--seed S]
 Prints ``FUZZ_CODEC ok iters=... blocks=...`` or raises on first violation.
@@ -75,7 +76,7 @@ def _make_corpus(rng: random.Random):
         for level in (0, 1, 6, 9):
             co = zlib.compressobj(level, zlib.DEFLATED, -15)
             out.append((data, co.compress(data) + co.flush()))
-        for level in (1, 2):
+        for level in (1, 2, 4, 6, 9):
             out.append((data, comp.raw_deflate(data, level=level)))
     return out
 
@@ -201,12 +202,15 @@ def fuzz_encoder(rng: random.Random) -> int:
     else:
         seed = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(1, 500)))
         data = (seed * (n // len(seed) + 1))[:n]
-    for level in (1, 2):
+    for level in (1, 2, 3, 5, 7, 9):
         stream = comp.raw_deflate(data, level=level)
         got = zlib.decompressobj(-15).decompress(stream)
         assert got == data, (
             f"fast L{level} stream does not round-trip (n={n} kind={kind})")
-    return 2
+        wrapped = comp.raw_deflate(data, level=level, nowrap=False)
+        assert zlib.decompress(wrapped) == data, (
+            f"fast L{level} wrapped stream does not round-trip (n={n} kind={kind})")
+    return 12
 
 
 def main() -> int:
