@@ -30,6 +30,29 @@ import numpy as np  # noqa: E402
 
 BASELINE_CELLS_PER_SEC = 3.0e9  # one AVX-512 core, derived (SURVEY.md §6)
 
+# Socket-equivalent framing: the reference runs OpenMP across the whole
+# socket (IntelPairHmm.cc:151-153); 32 AVX-512 cores is a generous
+# production Xeon.  vs_baseline stays per-core (BASELINE.md's anchor);
+# vs_socket32 rides along so both framings are always on record.
+SOCKET_CORES = 32
+
+# Roofline anchor: TPU v5e TensorCore VPU = 4 ALUs x (8 sublanes x 128
+# lanes) at ~0.94 GHz, counting an FMA as 2 flops => ~7.7 Tf32op/s.  The
+# DP kernels are VPU-bound (elementwise mul/add/select chains - no MXU
+# contraction in the recurrence), so %-of-VPU-peak is the honest
+# speed-of-light figure.  Per-cell op counts come from each kernel's own
+# CostEstimate (ops/pairhmm_pallas.py etc.).
+VPU_F32_PEAK = 4 * 8 * 128 * 2 * 0.94e9
+KERNEL_FLOPS_PER_CELL = {
+    "pairhmm_dp_cells_per_sec": 50,            # scaled rows kernel
+    "pairhmm_dp_cells_per_sec_longread": 43,   # cols relay kernel
+    "pairhmm_sharded_dp_cells_per_sec": 50,
+    "pdhmm_dp_cells_per_sec": 60,
+    "pdhmm_dp_cells_per_sec_scattered": 60,
+    "sw_dp_cells_per_sec": 30,                 # int32 ops (VPU too)
+    "sw_dp_cells_per_sec_large": 30,
+}
+
 
 def _gatk_like_batch(R, H, P, seed=0):
     """Realistic batch: reads are mutated haplotype prefixes (likelihoods in
@@ -120,6 +143,7 @@ def _suite_extras(quick: bool) -> dict:
         # fallback run these are the round's only full-fidelity perf evidence
         ("codec", lambda: suite.bench_codec(False)),
         ("bam", lambda: suite.bench_bam_pipeline(quick)),
+        ("gatk_corpus", lambda: suite.bench_gatk_corpus(quick)),
     ):
         suite.RESULTS.clear()
         try:
@@ -171,6 +195,18 @@ def inner_main():
         rec["extra"].update(_suite_extras(quick))
     except Exception as e:  # noqa: BLE001
         rec["extra"]["suite_error"] = str(e)[:300]
+    # roofline + socket framings (VERDICT r4 weak #6): every DP-kernel rate
+    # also lands as a %-of-VPU-f32-peak and the headline additionally as a
+    # 32-core-socket-equivalent multiple
+    rec["extra"]["vs_socket32"] = rec["value"] / (
+        BASELINE_CELLS_PER_SEC * SOCKET_CORES)
+    rates = dict(rec["extra"])
+    rates["pairhmm_dp_cells_per_sec"] = rec["value"]
+    for metric, fpc in KERNEL_FLOPS_PER_CELL.items():
+        v = rates.get(metric)
+        if isinstance(v, (int, float)) and v > 0:
+            rec["extra"][f"{metric}_pct_vpu_peak"] = round(
+                100.0 * v * fpc / VPU_F32_PEAK, 2)
     print(json.dumps(rec))
     sys.stdout.flush()
     return 0

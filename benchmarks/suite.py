@@ -402,46 +402,138 @@ def _replicated_bam(bam_path, copies):
     return dst
 
 
+def _mutated_haps(records, n, seed=0):
+    """n haplotypes derived from the BAM's own reads: the first few reads
+    verbatim plus mutated variants (the assembled-haplotype population of a
+    real active region — dozens of near-identical candidates)."""
+    from gkl_tpu.api import HaplotypeData
+
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    haps = []
+    for i in range(n):
+        seq = np.asarray(records[i % 8].seq, np.uint8).copy()
+        if i >= 8:
+            mut = rng.random(seq.shape) < 0.01
+            seq[mut] = bases[rng.integers(0, 4, int(mut.sum()))]
+        haps.append(HaplotypeData(seq))
+    return haps
+
+
 def bench_bam_pipeline(quick):
     from gkl_tpu import bam as bam_mod
     from gkl_tpu import pipeline
-    from gkl_tpu.api import HaplotypeData
+    from gkl_tpu import profiling
 
     bam_path = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
                             "HiSeq.1mb.1RG.2k_lines.bam")
     if not os.path.exists(bam_path):
         return
     _, records = bam_mod.read_bam(bam_path, limit=8)
-    haps = [HaplotypeData(records[i].seq) for i in (0, 1)]
     if quick:
         limit, chunk = 128, 1024
     else:
         bam_path = _replicated_bam(bam_path, 16)
         limit, chunk = None, 2048
-    # warm pass over the SAME stream (compiles every shape incl. the tail
-    # chunk's bucket), then the timed pass with the stage breakdown
-    pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=chunk)
-    from gkl_tpu import profiling
 
+    # haplotype-count sweep: 2 haps is codec/host-bound; real active
+    # regions score against dozens of assembled haplotypes, where the
+    # device becomes the term that matters (VERDICT r4 weak #5)
+    for nh in (2, 8, 32):
+        haps = _mutated_haps(records, nh)
+        # warm pass over the SAME stream (compiles every shape incl. the
+        # tail chunk's bucket), then the timed pass with stage breakdown
+        pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=chunk)
+        os.environ["GKL_TPU_METRICS"] = "1"
+        profiling.METRICS.reset()
+        t0 = time.perf_counter()
+        res = pipeline.pairhmm_bam(bam_path, haps, limit=limit,
+                                   chunk_reads=chunk)
+        dt = time.perf_counter() - t0
+        os.environ.pop("GKL_TPU_METRICS", None)
+        snap = profiling.METRICS.snapshot()
+        stages = {k: round(v["seconds"], 4) for k, v in snap.items()
+                  if k.startswith("pipeline_")}
+        suffix = "" if nh == 2 else f"_h{nh}"
+        _emit(f"bam_pipeline_reads_per_sec{suffix}",
+              len(res.read_names) / dt, "reads/s",
+              n_reads=len(res.read_names), n_haplotypes=nh,
+              stage_seconds=stages)
+
+    # composed HaplotypeCaller-shaped flow (BASELINE config 5): PairHMM
+    # scoring + SW realignment to the best haplotype + PDHMM re-scoring,
+    # all on one BAM stream
+    from gkl_tpu.api_pdhmm import PDHaplotypeData
+
+    haps = _mutated_haps(records, 8)
+    pd_haps = []
+    for i in (0, 1, 2, 3):
+        seq = np.asarray(records[i].seq, np.uint8)
+        pd = np.zeros(len(seq), np.uint8)
+        if i % 2 == 0:
+            j = 10 + 7 * i
+            pd[j] = 2
+            pd[j + 3] = 4
+        pd_haps.append(PDHaplotypeData(seq, haplotype_pdbases=pd))
+    mixed_limit = limit if quick else 26432 // 2
+    pipeline.region_bam(bam_path, haps, pd_haplotypes=pd_haps,
+                        limit=mixed_limit, chunk_reads=chunk)
     os.environ["GKL_TPU_METRICS"] = "1"
     profiling.METRICS.reset()
     t0 = time.perf_counter()
-    res = pipeline.pairhmm_bam(bam_path, haps, limit=limit, chunk_reads=chunk)
+    res = pipeline.region_bam(bam_path, haps, pd_haplotypes=pd_haps,
+                              limit=mixed_limit, chunk_reads=chunk)
     dt = time.perf_counter() - t0
     os.environ.pop("GKL_TPU_METRICS", None)
     snap = profiling.METRICS.snapshot()
     stages = {k: round(v["seconds"], 4) for k, v in snap.items()
               if k.startswith("pipeline_")}
-    _emit("bam_pipeline_reads_per_sec", len(res.read_names) / dt, "reads/s",
-          n_reads=len(res.read_names), n_haplotypes=len(haps),
-          stage_seconds=stages)
+    _emit("mixed_pipeline_reads_per_sec", len(res.read_names) / dt,
+          "reads/s", n_reads=len(res.read_names), n_haplotypes=8,
+          n_pd_haplotypes=4, stage_seconds=stages)
+
+
+def bench_gatk_corpus(quick):
+    """GATK-scale end-to-end validation at full size (>=10k reads through
+    BAM -> codec -> batch -> PairHMM + SW + PDHMM, oracle-checked): the
+    gatkIntegration.sh role, recorded as a bench metric so every round
+    carries a pass/fail at scale.  Value = reads/s through the composed
+    pipeline; the oracle legs run outside the timed window."""
+    from gkl_tpu import validation
+
+    n_reads = 1024 if quick else 10240
+    import tempfile
+
+    fd, bam_path = tempfile.mkstemp(suffix=".bam", prefix="gkl_corpus_")
+    os.close(fd)
+    try:
+        corpus = validation.build_corpus(bam_path, n_reads=n_reads)
+        from gkl_tpu import pipeline
+
+        # warm (compile all shape buckets), then timed pipeline-only pass
+        pipeline.region_bam(bam_path, corpus.haplotypes,
+                            pd_haplotypes=corpus.pd_haplotypes,
+                            chunk_reads=2048)
+        t0 = time.perf_counter()
+        res = pipeline.region_bam(bam_path, corpus.haplotypes,
+                                  pd_haplotypes=corpus.pd_haplotypes,
+                                  chunk_reads=2048)
+        dt = time.perf_counter() - t0
+        stats = validation.check_corpus(corpus, sample_stride=64 if quick
+                                        else 32)
+        _emit("gatk_corpus_reads_per_sec", len(res.read_names) / dt,
+              "reads/s", ok=1, **{k: v for k, v in stats.items()
+                                  if isinstance(v, (int, float))})
+    finally:
+        if os.path.exists(bam_path):
+            os.unlink(bam_path)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
-                    help="comma list: pairhmm,pdhmm,sw,codec,bam")
+                    help="comma list: pairhmm,pdhmm,sw,codec,bam,gatk_corpus")
     args = ap.parse_args()
 
     import jax
@@ -469,6 +561,8 @@ def main():
         bench_codec(args.quick)
     if want("bam"):
         bench_bam_pipeline(args.quick)
+    if want("gatk_corpus"):
+        bench_gatk_corpus(args.quick)
 
 
 if __name__ == "__main__":

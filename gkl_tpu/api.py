@@ -381,11 +381,14 @@ class PairHMM:
     # Probed on v5e (scripts/probe_cols_relay.py): the streamed-hap cols
     # kernel compiles and matches the jnp engine at H=32768 and R=512 (any
     # H — the hap axis pages through a sequential grid dimension); R=1024
-    # exceeds VMEM (13 (R,128) f32 tiles x ~3x multi-buffering).  Reads
-    # past that take the read-RELAY variant (device-resident boundary
-    # planes between read chunks), so there is no length cliff left in
-    # the Pallas path.
-    COLS_MAX_READ = 512
+    # Measured crossover, not a VMEM cap: past R=128 the read-RELAY
+    # variant (device-resident boundary planes between shallow read
+    # chunks) is FASTER than one tall column sweep — shallow state tiles
+    # mean fewer X-scan ladder levels and cheaper sublane rolls (v5e,
+    # H=4096: plain cols 133/81/54 Gcells/s at R=128/256/512 vs relay
+    # ~100-111 with r_chunk=64).  There is no length cliff left in the
+    # Pallas path either way.
+    COLS_MAX_READ = 128
 
     @classmethod
     def _cols_kernel_fits(cls, H: int, R: int) -> bool:

@@ -202,7 +202,6 @@ def _kernel_relay(hap_ref, bm_ref, bx_ref, by_ref, read_ref,
     # (a RUNTIME input, so every interior chunk reuses ONE compiled kernel
     # instead of baking r0 in as a trace-time constant)
     last_row = jnp.where((row_iota + 1) == rslen_ref[:], f32(1.0), f32(0.0))
-    last_sel = jnp.where(row_iota == R - 1, f32(1.0), f32(0.0))
 
     @pl.when(jgrid == 0)
     def _init():
@@ -280,10 +279,12 @@ def _kernel_relay(hap_ref, bm_ref, bx_ref, by_ref, read_ref,
         pbx_ref[:] = bx_c
         pby_ref[:] = by_c
 
-        # boundary out: DP row r0+R of this column, for the next chunk
-        bmo_ref[pl.ds(jc, 1), :] = jnp.sum(m * last_sel, axis=0, keepdims=True)
-        bxo_ref[pl.ds(jc, 1), :] = jnp.sum(b * last_sel, axis=0, keepdims=True)
-        byo_ref[pl.ds(jc, 1), :] = jnp.sum(y * last_sel, axis=0, keepdims=True)
+        # boundary out: DP row r0+R of this column, for the next chunk —
+        # a (1, LP) read of the state just stored (a full-tile multiply-
+        # reduce here cost ~11% of the whole kernel)
+        bmo_ref[pl.ds(jc, 1), :] = m_ref[pl.ds(R - 1, 1), :]
+        bxo_ref[pl.ds(jc, 1), :] = x_ref[pl.ds(R - 1, 1), :]
+        byo_ref[pl.ds(jc, 1), :] = y_ref[pl.ds(R - 1, 1), :]
 
         valid = jnp.where((j + 1) <= haplen, f32(1.0), f32(0.0))
         out_ref[:] += jnp.sum((m + b) * last_row, axis=0, keepdims=True) * valid
@@ -336,10 +337,22 @@ def _cols_relay_call(hap_i, bm, bx, by, read_i, dmatch, dmis, p_mm, p_gapm,
       p_my, p_yy, pby0, rslen_local2, haplen2)
 
 
+def default_r_chunk(R: int) -> int:
+    """Measured-optimal read-chunk height: SHALLOW chunks win big (v5e:
+    r_chunk 512 -> 52 Gcells/s, 128 -> 94, 64 -> 111 at R=1024, H=4096 —
+    fewer X-scan ladder levels and cheaper sublane rolls dominate the
+    extra boundary traffic, which is ~0.5% of compute).  64 is the knee
+    (32 regresses to 84: per-chunk fixed costs take over); chunk count is
+    capped at 32 so very long reads keep the unrolled relay's compile
+    time bounded."""
+    return 64 * max(1, -(-R // (64 * 32)))
+
+
 @functools.partial(jax.jit, static_argnames=("lane_block", "r_chunk", "interpret"))
 def pairhmm_raw_pallas_cols_relay(hap, read, q, iq, dq, gcp, haplen, rslen,
                                   *, lane_block: int = LANE_BLOCK,
-                                  r_chunk: int = 512, interpret: bool = False):
+                                  r_chunk: int | None = None,
+                                  interpret: bool = False):
     """float32 PairHMM forward for ANY (H, R): column sweep with the hap
     axis streamed (as in ``pairhmm_raw_pallas_cols``) AND the read axis
     relayed in ``r_chunk`` chunks with device-resident (H, P) boundary
@@ -356,6 +369,8 @@ def pairhmm_raw_pallas_cols_relay(hap, read, q, iq, dq, gcp, haplen, rslen,
     H, P = hap.shape
     R = read.shape[0]
     assert P % lane_block == 0, (P, lane_block)
+    if r_chunk is None:
+        r_chunk = default_r_chunk(R)
 
     qm = (q & 127).astype(jnp.int32)
     im = (iq & 127).astype(jnp.int32)

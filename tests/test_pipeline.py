@@ -209,6 +209,51 @@ def test_pipeline_golden_snapshot():
     np.testing.assert_allclose(res.likelihoods, np.array(rows), atol=1e-5)
 
 
+def test_region_pipeline_golden_snapshot():
+    """Mixed-kernel region pipeline (the GATK active-region shape,
+    BASELINE config 5): ONE BAM stream through PairHMM scoring, SW
+    realignment against each read's best haplotype, and PDHMM scoring
+    against partially-determined haplotypes — all asserted against a
+    committed snapshot.  The PairHMM block of the snapshot equals
+    pipeline_golden.txt (cross-validated at generation time)."""
+    from gkl_tpu.api import HaplotypeData
+    from gkl_tpu.api_pdhmm import PDHaplotypeData
+
+    _, records = bam_mod.read_bam(BAM, limit=8)
+    haps = [HaplotypeData(records[i].seq) for i in (0, 1, 2, 3)]
+    pd0 = np.zeros(len(records[0].seq), np.uint8)
+    pd0[10] = 2  # DEL_START
+    pd0[13] = 4  # DEL_END
+    pd_haps = [
+        PDHaplotypeData(records[0].seq, haplotype_pdbases=pd0),
+        PDHaplotypeData(records[1].seq,
+                        haplotype_pdbases=np.zeros(len(records[1].seq),
+                                                   np.uint8)),
+    ]
+    res = pipeline.region_bam(BAM, haps, pd_haplotypes=pd_haps, limit=24,
+                              chunk_reads=8)
+
+    names, bests, offs, cigars, liks, pdliks = [], [], [], [], [], []
+    with open(os.path.join(DATA_DIR, "region_golden.txt")) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            p = line.split()
+            names.append(p[0])
+            bests.append(int(p[1]))
+            offs.append(int(p[2]))
+            cigars.append(p[3])
+            liks.append([float(v) for v in p[4:8]])
+            pdliks.append([float(v) for v in p[8:10]])
+    assert res.read_names == names
+    assert list(res.best_haplotype) == bests
+    assert list(res.offsets) == offs
+    assert res.cigars == cigars
+    np.testing.assert_allclose(res.likelihoods, np.array(liks), atol=1e-5)
+    np.testing.assert_allclose(res.pd_likelihoods, np.array(pdliks),
+                               atol=1e-4)
+
+
 def test_streaming_writer_recompress_roundtrip(tmp_path):
     """Full-BAM streaming recompress (decode → records → streaming writer,
     bounded memory): record-for-record equality on re-read at levels 1 and
