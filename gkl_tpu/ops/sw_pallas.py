@@ -36,7 +36,7 @@ LANE_BLOCK = 128
 _SCAN_LOW = -(2**30)
 
 
-def _pick_chunk(N: int, M: int, lane_block: int) -> int:
+def _pick_chunk(N: int, M: int, lane_block: int, mrelay: bool = False) -> int:
     """Largest reference-chunk size whose TOTAL VMEM footprint fits.
 
     Joint accounting calibrated against measured scoped-vmem failures on
@@ -46,12 +46,14 @@ def _pick_chunk(N: int, M: int, lane_block: int) -> int:
     ~3x-buffered by the pipeline; ~2 MB of slack covers Mosaic temporaries.
     Measured: (N=2048, M=2048) passes at CH=8 and OOMs at CH=16, which this
     model reproduces.  CH must divide N and (lastcol block sublane rule)
-    be a multiple of 8 — or equal N, which Mosaic exempts."""
+    be a multiple of 8 — or equal N, which Mosaic exempts.  The alt-chunk
+    relay adds four streamed (CH, lane_block) i32 edge planes."""
     cell = M * lane_block
     budget = 14 * (1 << 20) - 33 * cell
+    edge = 4 * 3 * lane_block * 4 if mrelay else 0
     best = 0
     for ch in range(8, N + 1, 8):
-        if N % ch == 0 and 3 * (ch // 2) * cell <= budget:
+        if N % ch == 0 and 3 * (ch // 2) * cell + ch * edge <= budget:
             best = max(best, ch)
     if best == 0:
         best = N if N % 8 else 8  # CH == N escapes the %8 block rule
@@ -201,6 +203,190 @@ def _kernel(indel_boundary, relay, ref_ref, alt_ref, reflen_ref, altlen_ref,
         fout_ref[:] = f_ref[:]
 
 
+def _kernel_m(indel_boundary, ref_ref, alt_ref, reflen_ref, altlen_ref,
+              wm_ref, wx_ref, wo_ref, we_ref, mbase_ref, pedge0_ref,
+              hedge_in_ref, eedge_in_ref,
+              bt_ref, lastrow_ref, lastcol_ref, hedge_out_ref, eedge_out_ref,
+              h_ref, f_ref, e_ref, prev_bt_ref, pedge_ref):
+    """Alt-axis chunk of the SW DP: same exact int32 recurrence as
+    ``_kernel`` over a [m0+1, m0+MCH] column slab, with the previous
+    slab's right-edge values carried as (N, P) H/E planes in HBM
+    (streamed per ref chunk like the backtrack) — the SW analogue of the
+    PairHMM read relay.  Shallow slabs are the point: the within-row E
+    scan costs log2(slab) roll levels and the rolls themselves are far
+    cheaper on short tiles (v5e, 2048x512x128: 38 Gcells/s tall vs 58+ at
+    M=128).  The chain is exact integer arithmetic, so slab results are
+    bit-identical to the tall kernel."""
+    M, LP = h_ref.shape
+    CH = ref_ref.shape[0]
+    jgrid = pl.program_id(1)
+    i32 = jnp.int32
+
+    col_iota = jax.lax.broadcasted_iota(i32, (M, LP), 0)
+    alt_i = alt_ref[:]
+    reflen = reflen_ref[:]
+    altlen = altlen_ref[:]
+    mbase = mbase_ref[:]  # (1, LP) global column offset of this slab
+    w_match = wm_ref[:]
+    w_mismatch = wx_ref[:]
+    w_open = wo_ref[:]
+    w_extend = we_ref[:]
+    w = jnp.maximum(w_open, w_extend)
+    low = i32(LOW_INIT_VALUE)
+    cutoff = i32(MATRIX_MIN_CUTOFF)
+    scan_low = i32(_SCAN_LOW)
+
+    lastcol_onehot = col_iota + 1 + mbase == altlen
+
+    levels = []
+    k = 1
+    while k < M:
+        levels.append(k)
+        k <<= 1
+
+    def shift1(v, first):
+        return jnp.where(col_iota == 0, first, pltpu.roll(v, jnp.int32(1), 0))
+
+    @pl.when(jgrid == 0)
+    def _init():
+        if indel_boundary:
+            # H(0, j) = open + (j-1)*extend at global j = mbase+col_iota+1
+            h_ref[:] = w_open + (mbase + col_iota) * w_extend
+        else:
+            h_ref[:] = jnp.zeros((M, LP), i32)
+        f_ref[:] = jnp.full((M, LP), low, i32)
+        lastrow_ref[:] = jnp.zeros((M, LP), i32)
+        pedge_ref[:] = pedge0_ref[:]  # H(0, m0) — the r=1 diagonal seed
+
+    def body(lrow, r, parity):
+        rc = ref_ref[pl.ds(lrow, 1), :]   # (1, LP)
+        b_prev = pedge_ref[:]             # H(r-1, m0) from the left slab
+        b_i = hedge_in_ref[pl.ds(lrow, 1), :]    # H(r, m0)
+        e_seed = eedge_in_ref[pl.ds(lrow, 1), :]  # E(r, m0)
+
+        h_prev = h_ref[:]
+        f_prev = f_ref[:]
+
+        sbt = jnp.where(alt_i == rc, w_match, w_mismatch)
+        h_diag = shift1(h_prev, b_prev)
+        hc = jnp.maximum(h_diag + sbt, cutoff)
+
+        open_v = h_prev + w_open
+        ext_v = f_prev + w_extend
+        f_new = jnp.maximum(open_v, ext_v)
+        dext = open_v <= ext_v
+
+        hf = jnp.maximum(hc, f_new)
+        g = w_open + shift1(hf, b_i)
+
+        T = g
+        for k in levels:
+            T_sh = jnp.where(
+                col_iota >= k,
+                pltpu.roll(T, jnp.int32(k), 0) + k * w,
+                scan_low,
+            )
+            T = jnp.maximum(T, T_sh)
+        # the left slab's E carries in as E(r, m0) + (jl+1)*w — for slab 0
+        # the driver seeds E = LOW_INIT_VALUE, reproducing the tall
+        # kernel's low_s floor exactly
+        e_new = jnp.maximum(T, e_seed + (col_iota + 1) * w)
+
+        e_gt = e_new > hc
+        h_after_e = jnp.maximum(hc, e_new)
+        f_gt = f_new > h_after_e
+        h_new = jnp.maximum(h_after_e, f_new)
+
+        iext = shift1(h_new, b_i) + w_open <= shift1(e_new, e_seed) + w_extend
+
+        bt = (
+            jnp.where(f_gt, DELETE, jnp.where(e_gt, INSERT, 0))
+            | jnp.where(iext, INSERT_EXT, 0)
+            | jnp.where(dext, DELETE_EXT, 0)
+        )
+
+        if parity == 1:
+            prev_bt_ref[:] = bt.astype(jnp.uint8)
+        else:
+            bt_ref[pl.ds((lrow - 1) // 2, 1), :, :] = (
+                prev_bt_ref[:].astype(jnp.int32) | (bt << 4)
+            ).astype(jnp.uint8)[None]
+
+        lc = jnp.max(jnp.where(lastcol_onehot, h_new, scan_low), axis=0, keepdims=True)
+        lastcol_ref[pl.ds(lrow, 1), :] = lc
+        lastrow_ref[:] = jnp.where(r == reflen, h_new, lastrow_ref[:])
+
+        h_ref[:] = h_new
+        f_ref[:] = f_new
+        e_ref[:] = e_new
+        pedge_ref[:] = b_i
+        # right-edge planes for the next slab (slice reads, not reductions)
+        hedge_out_ref[pl.ds(lrow, 1), :] = h_ref[pl.ds(M - 1, 1), :]
+        eedge_out_ref[pl.ds(lrow, 1), :] = e_ref[pl.ds(M - 1, 1), :]
+
+    base = jgrid * jnp.int32(CH)
+
+    def group(c, carry):
+        for k in range(4):
+            lrow = c * 4 + jnp.int32(k)
+            body(lrow, base + lrow + 1, parity=(k + 1) % 2)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH // 4), group, jnp.int32(0))
+
+
+SW_M_SLAB = 64        # slab height: 64 measures fastest (64.9 G vs 61.0 at
+                      # 128 on the 2048x512x128 bucket)
+SW_M_RELAY_MIN = 256  # tall-kernel cliff: use slabs only past this
+
+
+def _sw_mrelay_call(ref_i, alt_sl, reflen2, altlen2, wm, wx, wo, we,
+                    mbase, pedge0, hedge, eedge, *, indel_boundary,
+                    lane_block, interpret):
+    """One alt-slab pallas_call; the (mbase, pedge0) scalars ride as
+    runtime inputs so every slab reuses ONE compiled kernel."""
+    N, P = ref_i.shape
+    M = alt_sl.shape[0]
+    i32 = jnp.int32
+    CH = _pick_chunk(N, M, lane_block, mrelay=True)
+    grid = (P // lane_block, N // CH)
+    ls = functools.partial(_lane_spec, lane_block)
+    cs = functools.partial(_chunk_spec, lane_block)
+    in_specs = _sw_base_specs(CH, M, lane_block) + [
+        ls(1),    # mbase
+        ls(1),    # pedge0
+        cs(CH),   # hedge in
+        cs(CH),   # eedge in
+    ]
+    out_specs = [
+        cs(CH // 2, M),  # bt
+        ls(M),           # lastrow
+        cs(CH),          # lastcol (this slab's altlen columns only)
+        cs(CH),          # hedge out
+        cs(CH),          # eedge out
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((N // 2, M, P), jnp.uint8),
+        jax.ShapeDtypeStruct((M, P), i32),
+        jax.ShapeDtypeStruct((N, P), i32),
+        jax.ShapeDtypeStruct((N, P), i32),
+        jax.ShapeDtypeStruct((N, P), i32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_kernel_m, indel_boundary),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((M, lane_block), i32)] * 3
+        + [pltpu.VMEM((M, lane_block), jnp.uint8)]
+        + [pltpu.VMEM((1, lane_block), i32)],
+        cost_estimate=_sw_cost(N, M, P),
+        interpret=interpret,
+    )(ref_i, alt_sl, reflen2, altlen2, wm, wx, wo, we, mbase, pedge0,
+      hedge, eedge)
+
+
 def _pad_m(M: int) -> int:
     """Alt-axis padding: beyond 512 rows, non-power-of-two sublane counts
     cost Mosaic several extra MB of roll temporaries (measured: M=1792 OOMs
@@ -237,7 +423,19 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
     assert N % 4 == 0 and P % lane_block == 0, (N, P)
     i32 = jnp.int32
 
-    M_pad = _pad_m(M)
+    # measured crossover (v5e): the tall kernel holds ~50-124 Gcells/s up
+    # to M=256 but falls off a cliff beyond (38 G at M=512 — roll cost
+    # grows superlinearly with sublane count), where 128-row slabs with
+    # carried H/E edge planes run 57-72 G; below the cliff the slab pad +
+    # per-column edge stores are pure overhead (160x160: 124 -> 31 G)
+    mrelay = M > SW_M_RELAY_MIN
+    if mrelay:
+        # alt-slab relay: pad to a slab multiple (the pow2 rule only binds
+        # the in-slab scan, and slabs are pow2 already) — M=1792 no longer
+        # pays for a 2048 pad
+        M_pad = -(-M // SW_M_SLAB) * SW_M_SLAB
+    else:
+        M_pad = _pad_m(M)
     if M_pad != M:
         # padded alt rows sit beyond every lane's altlen: the column scan
         # only moves information toward higher j, and lastrow/bt reads are
@@ -254,6 +452,39 @@ def sw_forward_pallas(ref, alt, reflen, altlen, match, mismatch, gap_open,
     we = ones * jnp.asarray(gap_extend, i32)
     reflen2 = reflen.astype(i32)[None, :]
     altlen2 = altlen.astype(i32)[None, :]
+
+    if mrelay:
+        with jax.enable_x64(False):
+            row_r = jnp.arange(N, dtype=i32)[:, None]  # r-1 for r = 1..N
+            if indel_boundary:
+                hedge = (jnp.asarray(gap_open, i32)
+                         + row_r * jnp.asarray(gap_extend, i32)
+                         ) * jnp.ones((1, P), i32)
+            else:
+                hedge = jnp.zeros((N, P), i32)
+            eedge = jnp.full((N, P), LOW_INIT_VALUE, i32)
+            bts, lastrows, lastcol = [], [], None
+            for m0 in range(0, M, SW_M_SLAB):
+                if m0 == 0:
+                    pedge0 = jnp.zeros((1, P), i32)  # H(0, 0) = 0, both modes
+                elif indel_boundary:
+                    pedge0 = ones * (jnp.asarray(gap_open, i32)
+                                     + (m0 - 1) * jnp.asarray(gap_extend, i32))
+                else:
+                    pedge0 = jnp.zeros((1, P), i32)
+                bt_m, lr_m, lc_m, hedge, eedge = _sw_mrelay_call(
+                    ref_i, alt_i[m0:m0 + SW_M_SLAB], reflen2, altlen2,
+                    wm, wx, wo, we, ones * i32(m0), pedge0, hedge, eedge,
+                    indel_boundary=indel_boundary, lane_block=lane_block,
+                    interpret=interpret)
+                bts.append(bt_m)
+                lastrows.append(lr_m)
+                # each slab reports scores only where altlen falls inside it
+                lastcol = lc_m if lastcol is None else jnp.maximum(lastcol, lc_m)
+            bt = jnp.concatenate(bts, axis=1)
+            lastrow = jnp.concatenate(lastrows, axis=0)
+        return (jnp.transpose(bt, (2, 0, 1)), lastrow,
+                jnp.transpose(lastcol, (1, 0)))
 
     CH = _pick_chunk(N, M, lane_block)
     grid = (P // lane_block, N // CH)

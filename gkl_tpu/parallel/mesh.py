@@ -5,8 +5,10 @@ Axes:
 * ``dp`` — data parallel over the pair/lane axis.  This is the TPU-native
   replacement for the reference's OpenMP ``parallel for`` over independent
   (read, haplotype) pairs (IntelPairHmm.cc:151-153, pdhmm.h:1218-1248).
-* ``sp`` — reserved for sequence-parallel column splits of very long
-  haplotypes (SURVEY.md §5.7); currently size 1.
+* ``sp`` — sequence-parallel column split of very long haplotypes
+  (SURVEY.md §5.7): ``pairhmm_raw_sp`` shards the hap axis over an ``sp``
+  mesh with the DP carry relayed between neighbors per read row
+  (``sequence_parallel_mesh``).
 """
 
 from __future__ import annotations
@@ -567,3 +569,144 @@ def pdhmm_raw_pallas_chunked_sharded(mesh: Mesh, packed, hap_pd, states, *,
         packed.dq, packed.gcp, packed.haplen, packed.rslen, r_chunk=r_chunk,
         lane_block=lane_block, interpret=interpret, _chunk_call=chunk_call,
     )
+
+
+def sequence_parallel_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D ``sp`` mesh: sequence-parallel column split of the haplotype
+    axis (SURVEY.md §5.7's ring/blockwise mapping for very long
+    haplotypes)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=("sp",))
+
+
+def pairhmm_raw_sp(mesh: Mesh, hap, read, q, iq, dq, gcp, haplen, rslen, *,
+                   dtype: str = "float32"):
+    """Sequence-parallel PairHMM forward: the HAPLOTYPE axis split across
+    the mesh's ``sp`` axis, with the DP carry relayed between neighbor
+    devices each read row — the §5.7 blockwise/ring decomposition of the
+    column state for haplotypes too long for one device.
+
+    Per row step each device computes its column slab like the jnp engine
+    (``ops.pairhmm.pairhmm_raw``); the cross-slab terms travel over the
+    mesh: (a) the slab-edge M/X/Y values of the previous row (one
+    ``ppermute`` toward higher ``sp``), (b) the current row's edge M for
+    the Y-scan input (a second ``ppermute``), and (c) the Y affine scan's
+    cross-device prefix, composed from each slab's total affine transform
+    (``all_gather`` of one (1, P) triple, then an exclusive left-fold).
+    Device 0's zero-filled ``ppermute`` receives ARE the column-0 boundary
+    (M = X = 0; Y row-0 boundary applied only on device 0).
+
+    The Y scan is block-reassociated relative to the single-device
+    associative scan, so results agree to rounding (f64 ~1e-12 relative),
+    not bit-for-bit; the f32 golden 1e-5 contract holds.
+    """
+    import jax.numpy as jnp
+
+    from .. import context as ctx_mod
+    from ..ops.pairhmm import _N_CHAR, _affine_combine, _mant_exp
+
+    nsp = mesh.shape["sp"]
+    H, Pn = hap.shape
+    assert H % nsp == 0, (H, nsp)
+    ctx = ctx_mod.pairhmm_context(dtype)
+    f = jnp.dtype(dtype)
+    perm = [(i, i + 1) for i in range(nsp - 1)]
+
+    def shard_fn(hap_l, read, q, iq, dq, gcp, haplen, rslen):
+        idx = jax.lax.axis_index("sp")
+        H_loc = hap_l.shape[0]
+        R = read.shape[0]
+
+        ph2pr = jnp.asarray(ctx.ph2pr, f)
+        m2m = jnp.asarray(ctx.match_to_match, f)
+        qm = (q & 127).astype(jnp.int32)
+        im = (iq & 127).astype(jnp.int32)
+        dm = (dq & 127).astype(jnp.int32)
+        cm = (gcp & 127).astype(jnp.int32)
+        max_q = jnp.maximum(im, dm)
+        min_q = jnp.minimum(im, dm)
+        p_mm = m2m[((max_q * (max_q + 1)) >> 1) + min_q]
+        p_gapm = f.type(1.0) - ph2pr[cm]
+        p_mx = ph2pr[im]
+        p_xx = ph2pr[cm]
+        p_my = ph2pr[dm]
+        p_yy = ph2pr[cm]
+        distm = ph2pr[qm]
+        distm_match = f.type(1.0) - distm
+        distm_mis = distm / f.type(3.0)
+        init_y = jnp.asarray(ctx.INITIAL_CONSTANT, f) / haplen.astype(f)
+        hap_is_n = hap_l == _N_CHAR
+        zero_row = jnp.zeros((1, Pn), f)
+        col_global = idx * H_loc + jnp.arange(1, H_loc + 1, dtype=jnp.int32)
+        col_valid = (col_global[:, None] <= haplen[None, :]).astype(f)
+
+        def shift_down(arr, first_row):
+            return jnp.concatenate([first_row, arr[:-1]], axis=0)
+
+        def edge_from_left(row):
+            # (1, P) last row of the LEFT neighbor's slab; device 0 gets
+            # ppermute's zero fill = the DP's column-0 boundary
+            return jax.lax.ppermute(row, "sp", perm)
+
+        def row_step(carry, xs):
+            m_prev, x_prev, y_prev, acc = carry
+            rc, dmatch, dmis, pmm, pgapm, pmx, pxx, pmy, pyy, row_idx = xs
+
+            m_first = edge_from_left(m_prev[-1:])
+            x_first = edge_from_left(x_prev[-1:])
+            y0 = jnp.where(row_idx == 1, init_y, f.type(0.0))[None, :]
+            y_first = jnp.where(idx == 0, y0, edge_from_left(y_prev[-1:]))
+
+            match = (hap_l == rc[None, :]) | hap_is_n | (rc == _N_CHAR)[None, :]
+            prior = jnp.where(match, dmatch[None, :], dmis[None, :])
+
+            m_new = prior * (pmm[None, :] * shift_down(m_prev, m_first)
+                             + pgapm[None, :] * (shift_down(x_prev, x_first)
+                                                 + shift_down(y_prev, y_first)))
+            x_new = pmx[None, :] * m_prev + pxx[None, :] * x_prev
+
+            # Y scan: local associative scan, then the cross-device prefix
+            b_first = edge_from_left(m_new[-1:])
+            b = pmy[None, :] * shift_down(m_new, b_first)
+            am, ae = _mant_exp(jnp.broadcast_to(pyy[None, :], (H_loc, Pn)))
+            aml, ael, yl = jax.lax.associative_scan(
+                _affine_combine, (am, ae, b), axis=0)
+            tot = (aml[-1:], ael[-1:], yl[-1:])  # this slab's full transform
+            am_all = jax.lax.all_gather(tot[0], "sp")  # (nsp, 1, P)
+            ae_all = jax.lax.all_gather(tot[1], "sp")
+            y_all = jax.lax.all_gather(tot[2], "sp")
+            carry_t = (jnp.ones((1, Pn), f), jnp.zeros((1, Pn), jnp.int32),
+                       jnp.zeros((1, Pn), f))  # identity affine map
+            for k in range(nsp - 1):  # exclusive left-fold over devices < idx
+                cand = _affine_combine(carry_t, (am_all[k], ae_all[k], y_all[k]))
+                use = jnp.int32(k) < idx
+                carry_t = tuple(jnp.where(use, c, o)
+                                for c, o in zip(cand, carry_t))
+            _, _, y_new = _affine_combine(carry_t, (aml, ael, yl))
+
+            row_sum = jnp.sum((m_new + x_new) * col_valid, axis=0)
+            acc = acc + jnp.where(row_idx == rslen, row_sum, f.type(0.0))
+            return (m_new, x_new, y_new, acc), None
+
+        m0 = jnp.zeros((H_loc, Pn), f)
+        x0 = jnp.zeros((H_loc, Pn), f)
+        y0 = jnp.broadcast_to(init_y[None, :], (H_loc, Pn)).astype(f)
+        acc0 = jnp.zeros((Pn,), f)
+        xs = (read.astype(jnp.uint8), distm_match, distm_mis, p_mm, p_gapm,
+              p_mx, p_xx, p_my, p_yy, jnp.arange(1, R + 1, dtype=jnp.int32))
+        (_, _, _, acc), _ = jax.lax.scan(row_step, (m0, x0, y0, acc0), xs)
+        return jax.lax.psum(acc, "sp")
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("sp", None),) + (P(None, None),) * 5 + (P(None),) * 2,
+        out_specs=P(None),
+        check_vma=False,
+    )
+    with jax.enable_x64(dtype == "float64"), mesh:
+        return fn(hap, read, q, iq, dq, gcp,
+                  jnp.asarray(haplen, jnp.int32), jnp.asarray(rslen, jnp.int32))

@@ -30,6 +30,35 @@ def test_interpret_bit_parity(indel_boundary):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.parametrize("indel_boundary", [False, True])
+def test_mrelay_bit_parity(indel_boundary, monkeypatch):
+    """Alt-slab relay (M > SW_M_SLAB): exact-int DP must be bit-identical
+    to both the jnp engine and the tall single-slab kernel, including
+    lanes whose altlen falls in different slabs and padded tails."""
+    from gkl_tpu.ops import sw_pallas
+
+    monkeypatch.setattr(sw_pallas, "SW_M_SLAB", 16)  # force multi-slab
+    # the jit cache keys on shapes, not on SW_M_SLAB: flush so this test's
+    # forced slab size neither reuses nor pollutes other tests' traces
+    sw_forward_pallas.clear_cache()
+    args = _batch(N=24, M=40, P=16, seed=11)  # pads to 48 = 3 slabs
+    a = sw_forward(*args, 200, -150, -260, -11,
+                   indel_boundary=indel_boundary, pack_bt=True)
+    try:
+        b = sw_forward_pallas(*args, 200, -150, -260, -11,
+                              indel_boundary=indel_boundary, lane_block=8,
+                              interpret=True)
+    finally:
+        sw_forward_pallas.clear_cache()
+    # relay pads to a slab multiple (48), the jnp engine to M (40): compare
+    # the real-M prefix of bt/lastrow, full lastcol
+    bt_a, lr_a, lc_a = (np.asarray(x) for x in a)
+    bt_b, lr_b, lc_b = (np.asarray(x) for x in b)
+    np.testing.assert_array_equal(bt_a, bt_b[:, :, : bt_a.shape[2]])
+    np.testing.assert_array_equal(lr_a, lr_b[: lr_a.shape[0]])
+    np.testing.assert_array_equal(lc_a, lc_b)
+
+
 def test_fits_budget():
     assert sw_pallas_fits(160, 160)
     assert sw_pallas_fits(384, 384)
