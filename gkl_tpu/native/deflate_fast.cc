@@ -427,6 +427,7 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
     dist_freq[dc]++;
   };
 
+  bool force_lit = false;  // set by the level-1 sample probe below
   if (level <= 2) {
     // ---- greedy packed-pair tokenizer (levels 1-2) ----
     int pos = 0;
@@ -436,7 +437,57 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
     // byte.  Level 2 keeps the dense every-byte probe.
     int miss_run = 0;
     const int accel_shift = level >= 2 ? 30 : 5;  // stride = 1 + run/32 (L1)
+    // Level-1 sample probe: after tokenizing the first 8 KB, price that
+    // window both ways (its LZ parse vs a pure order-0 literal code).  On
+    // ~2-bit payloads (genomic bases) literals win by >2x, and tokenizing
+    // the rest of the block is pure waste — commit to the literal stream
+    // and skip it.  The 10% margin keeps borderline blocks on the full
+    // parse (which still gets the exact-cost literal fallback later), so
+    // a wrong commit needs the tail to differ wildly from the head.
+    const int probe_at = (level == 1 && n >= 16384) ? 8192 : n + 1;
+    bool probed = false;
     while (pos < n) {
+      if (pos >= probe_at && !probed) {
+        probed = true;
+        uint32_t sfreq[257];
+        std::memset(sfreq, 0, sizeof(sfreq));
+        for (int i = 0; i < pos; ++i) sfreq[in[i]]++;
+        sfreq[256] = 1;
+        uint8_t slens[257];
+        build_lengths(sfreq, 257, 15, slens);
+        long long lit_bits = 0;
+        for (int c = 0; c < 257; ++c)
+          lit_bits += (long long)sfreq[c] * slens[c];
+        uint32_t pfreq[286];
+        std::memcpy(pfreq, lit_freq, sizeof(pfreq));
+        pfreq[256] += 1;
+        long long parse_extra = 0;
+        for (int L = 3; L <= 258; ++L)
+          if (len_hist[L]) {
+            pfreq[T.len_sym[L]] += len_hist[L];
+            parse_extra += (long long)len_hist[L] * T.len_extra_bits[L];
+          }
+        uint8_t plens[288], pdlens[30];
+        build_lengths(pfreq, 286, 15, plens);
+        build_lengths(dist_freq, 30, 15, pdlens);
+        long long parse_bits = parse_extra;
+        for (int c = 0; c < 286; ++c)
+          parse_bits += (long long)pfreq[c] * plens[c];
+        for (int c = 0; c < 30; ++c)
+          parse_bits += (long long)dist_freq[c]
+                        * (pdlens[c] + T.dist_extra_bits[c]);
+        if (lit_bits + lit_bits / 10 < parse_bits) {
+          // commit: discard the sample parse; emit the whole block as a
+          // literal stream (frequencies recounted over the full input)
+          tp = tokens.data();
+          std::memset(lit_freq, 0, sizeof(lit_freq));
+          std::memset(dist_freq, 0, sizeof(dist_freq));
+          std::memset(len_hist, 0, sizeof(len_hist));
+          force_lit = true;
+          // the skipped tail still ages in via ms.base below; no inserts
+          break;
+        }
+      }
       int best_len = 0, best_dist = 0;
       if (pos <= limit4) {
         uint32_t v = read32(in + pos);
@@ -709,7 +760,7 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
     return changed;
   };
   bool lit_only = false;  // emit straight from `in`, ignoring the parse
-  if (tokens_end != tokens.data()) {
+  if (tokens_end != tokens.data() || force_lit) {
     uint32_t raw_freq[257];
     std::memset(raw_freq, 0, sizeof(raw_freq));
     for (int i = 0; i < n; ++i) raw_freq[in[i]]++;
@@ -725,7 +776,7 @@ int gkl_fast_deflate_dyn(const uint8_t* in, int n, uint8_t* out, int cap,
       long long lo_body = 0;
       for (int c = 0; c < 257; ++c)
         lo_body += (long long)raw_freq[c] * est_lens[c];
-      if (lo_body + 64 < std::min(dyn_bits, fixed_bits)) {
+      if (force_lit || lo_body + 64 < std::min(dyn_bits, fixed_bits)) {
         std::memcpy(lit_freq, raw_freq, 256 * sizeof(uint32_t));
         lit_freq[256] = 1;
         for (int s = 257; s < 286; ++s) lit_freq[s] = 0;
