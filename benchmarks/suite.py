@@ -461,36 +461,42 @@ def bench_bam_pipeline(quick):
               stage_seconds=stages)
 
     # composed HaplotypeCaller-shaped flow (BASELINE config 5): PairHMM
-    # scoring + SW realignment to the best haplotype + PDHMM re-scoring,
-    # all on one BAM stream
-    from gkl_tpu.api_pdhmm import PDHaplotypeData
+    # scoring + SW realignment to the best haplotype + PDHMM re-scoring on
+    # one BAM stream.  The region must be HC-SHAPED: reads drawn from the
+    # haplotype population (GATK only scores a region's reads against that
+    # region's assembled haplotypes) — streaming unrelated reads makes
+    # ~99% of PDHMM pairs deep-underflow host rescues, which measures the
+    # rescue ladder, not the pipeline.  The validation-corpus builder
+    # produces exactly that region shape as a real BAM.
+    import tempfile
 
-    haps = _mutated_haps(records, 8)
-    pd_haps = []
-    for i in (0, 1, 2, 3):
-        seq = np.asarray(records[i].seq, np.uint8)
-        pd = np.zeros(len(seq), np.uint8)
-        if i % 2 == 0:
-            j = 10 + 7 * i
-            pd[j] = 2
-            pd[j + 3] = 4
-        pd_haps.append(PDHaplotypeData(seq, haplotype_pdbases=pd))
-    mixed_limit = limit if quick else 26432 // 2
-    pipeline.region_bam(bam_path, haps, pd_haplotypes=pd_haps,
-                        limit=mixed_limit, chunk_reads=chunk)
-    os.environ["GKL_TPU_METRICS"] = "1"
-    profiling.METRICS.reset()
-    t0 = time.perf_counter()
-    res = pipeline.region_bam(bam_path, haps, pd_haplotypes=pd_haps,
-                              limit=mixed_limit, chunk_reads=chunk)
-    dt = time.perf_counter() - t0
-    os.environ.pop("GKL_TPU_METRICS", None)
-    snap = profiling.METRICS.snapshot()
-    stages = {k: round(v["seconds"], 4) for k, v in snap.items()
-              if k.startswith("pipeline_")}
-    _emit("mixed_pipeline_reads_per_sec", len(res.read_names) / dt,
-          "reads/s", n_reads=len(res.read_names), n_haplotypes=8,
-          n_pd_haplotypes=4, stage_seconds=stages)
+    from gkl_tpu import validation
+
+    fd, corpus_bam = tempfile.mkstemp(suffix=".bam", prefix="gkl_mixed_")
+    os.close(fd)
+    try:
+        n_reads = 1024 if quick else 13056
+        corpus = validation.build_corpus(corpus_bam, n_reads=n_reads)
+        pipeline.region_bam(corpus_bam, corpus.haplotypes,
+                            pd_haplotypes=corpus.pd_haplotypes,
+                            chunk_reads=chunk)
+        os.environ["GKL_TPU_METRICS"] = "1"
+        profiling.METRICS.reset()
+        t0 = time.perf_counter()
+        res = pipeline.region_bam(corpus_bam, corpus.haplotypes,
+                                  pd_haplotypes=corpus.pd_haplotypes,
+                                  chunk_reads=chunk)
+        dt = time.perf_counter() - t0
+        os.environ.pop("GKL_TPU_METRICS", None)
+        snap = profiling.METRICS.snapshot()
+        stages = {k: round(v["seconds"], 4) for k, v in snap.items()
+                  if k.startswith("pipeline_")}
+        _emit("mixed_pipeline_reads_per_sec", len(res.read_names) / dt,
+              "reads/s", n_reads=len(res.read_names), n_haplotypes=8,
+              n_pd_haplotypes=4, stage_seconds=stages)
+    finally:
+        if os.path.exists(corpus_bam):
+            os.unlink(corpus_bam)
 
 
 def bench_gatk_corpus(quick):

@@ -27,6 +27,9 @@ from .ops import sw_ref
 
 MAX_SW_SEQUENCE_LENGTH = 32 * 1024 - 1
 MAXIMUM_SW_MATCH_VALUE = 64 * 1024
+# shape-bucket cap per align_batch call: heterogeneous batches merge down
+# to this many (N, M) device dispatches (see the merge in align_batch)
+_SW_MAX_SHAPE_GROUPS = 4
 # jnp-engine ceiling (non-TPU backends): beyond this the unpacked (P, N, M)
 # code tensor stops being a sensible resident; the Pallas path instead
 # streams the reference axis and is bounded only by sw_pallas_fits (alt
@@ -231,6 +234,35 @@ class SmithWaterman:
         for k in device_idx:
             key = (n_bucket(len(refs[k])), batch_mod.bucket_length(len(alts[k])))
             groups.setdefault(key, []).append(k)
+
+        # Dispatch-latency-aware bucket merging: a heterogeneous batch
+        # (mixed read/haplotype lengths, the HaplotypeCaller region shape)
+        # can shatter into dozens of (N, M) shape buckets, and each bucket
+        # is a separate device dispatch — on a remote-TPU link one
+        # dispatch costs ~25-120 ms while the EXTRA padded compute from
+        # merging two buckets is single-digit ms at device rates.  Greedy
+        # pairwise merge (always the pair whose padded-cell increase is
+        # smallest) down to a handful of buckets; per-lane reflen/altlen
+        # keep results exact under any padding.
+        if len(groups) > _SW_MAX_SHAPE_GROUPS:
+            items = sorted(groups.items())
+            while len(items) > _SW_MAX_SHAPE_GROUPS:
+                best_i, best_extra = 0, None
+                for i in range(len(items) - 1):
+                    (n1, m1), i1 = items[i]
+                    (n2, m2), i2 = items[i + 1]
+                    nm, mm = max(n1, n2), max(m1, m2)
+                    extra = (nm * mm * (len(i1) + len(i2))
+                             - n1 * m1 * len(i1) - n2 * m2 * len(i2))
+                    if best_extra is None or extra < best_extra:
+                        best_i, best_extra = i, extra
+                (n1, m1), i1 = items[best_i]
+                (n2, m2), i2 = items[best_i + 1]
+                items[best_i : best_i + 2] = [
+                    ((max(n1, n2), max(m1, m2)), i1 + i2)]
+            groups = {}
+            for key, idxs in items:  # same-shape merges may collide: join
+                groups.setdefault(key, []).extend(idxs)
 
         chunked: list[tuple[tuple[int, int], list[int]]] = []
         lm = self._lane_multiple or batch_mod.default_lane_multiple()

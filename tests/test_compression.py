@@ -266,6 +266,22 @@ def test_fast_deflate_lazy_levels():
         assert f6 <= 1.02 * z6, (f6, z6, len(data))
 
 
+def test_fast_deflate_probe_mixed_content():
+    """The L1 sample probe decides from the first 8 KB; blocks whose head
+    and tail differ wildly (DNA head, binary/text tail and vice versa)
+    must still round-trip exactly, and a compressible tail must not
+    balloon past the input."""
+    rng = np.random.default_rng(13)
+    dna = bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 9000)])
+    text = b"the quick brown fox jumps over the lazy dog. " * 1200
+    rand = bytes(rng.integers(0, 256, 40000, dtype=np.uint8))
+    for data in (dna + rand, dna + text, text[:9000] + dna * 6,
+                 rand[:9000] + dna * 6):
+        c = comp.raw_deflate(data, 1, nowrap=True)
+        assert zlib.decompress(c, -zlib.MAX_WBITS) == data
+        assert len(c) <= len(data) + 64  # stored-block escape caps blowup
+
+
 def test_fast_deflate_entropy_fallback_ratio():
     """The cost-aware parse must beat zlib-1 on 2-bit-entropy DNA at the
     fast levels (VERDICT r4 weak #2: the greedy parse trailed zlib-1 by
